@@ -1,0 +1,160 @@
+"""Typed TOML configuration for diffmm_tpu.
+
+Mirrors the reference config surface (reference `Conf.py:9-77`): four sections
+(`base`, `data`, `hyper`, `train`) loaded from TOML with code defaults. Unlike
+the reference — whose dataclass constructors raise `TypeError` on the legacy
+keys still present in half the shipped tomls (see reference `conf/tiktok.toml`,
+`conf/baby.toml`, `conf/ifashion.toml`) — this loader accepts and maps legacy
+aliases so every shipped config loads with one consistent schema:
+
+  * ``sampling_steps``  -> ``sampling_step``   (plural legacy spelling)
+  * ``e_loss``          -> ``sim_weight``      (old name of the same weight)
+  * ``keepRate``/``trans``/``rebuild_k``/``norm``/``sampling_noise`` are
+    accepted and ignored (dead knobs of the reference's `Params.py` era).
+
+`denoise_dim` keeps the reference's stringified-list encoding ("[1024]",
+parsed with ast.literal_eval at reference `Main.py:97`) but also accepts a
+real TOML list.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import tomllib
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class BaseConfig:
+    """Reference `Conf.py:9-17`."""
+
+    latdim: int = 64
+    topk: int = 20
+    gpu: str = "0"  # accepted for config-compat; device placement is JAX's job
+    seed: int = 8888
+    denoise_dim: str = "[1024]"
+    d_emb_size: int = 10
+    cl_method: int = 0
+
+    def denoise_dims(self) -> list[int]:
+        """Hidden widths of the denoiser MLP (reference `Main.py:97`)."""
+        if isinstance(self.denoise_dim, str):
+            dims = ast.literal_eval(self.denoise_dim)
+        else:
+            dims = list(self.denoise_dim)
+        if not isinstance(dims, list) or not all(isinstance(d, int) for d in dims):
+            raise ValueError(f"denoise_dim must parse to a list of ints, got {dims!r}")
+        return dims
+
+
+@dataclass
+class DataConfig:
+    """Reference `Conf.py:19-27`. Shape fields are filled at load time."""
+
+    name: str = "tiktok"
+    user_num: int = 0
+    item_num: int = 0
+    image_feat_dim: int = 0
+    text_feat_dim: int = 0
+    audio_feat_dim: int = 0
+
+
+@dataclass
+class HyperConfig:
+    """Reference `Conf.py:29-48`."""
+
+    modal_cl_temp: float = 0.5
+    modal_cl_rate: float = 0.01
+    cross_cl_temp: float = 0.2
+    cross_cl_rate: float = 0.2
+    noise_degree: float = 0.2
+
+    noise_scale: float = 0.1
+    noise_min: float = 0.0001
+    noise_max: float = 0.02
+    steps: int = 5
+
+    sim_weight: float = 0.1
+    residual_weight: float = 0.5
+    modal_adj_weight: float = 0.2
+
+    sampling_step: int = 0
+
+    knn_topk: int = 10
+
+
+@dataclass
+class TrainConfig:
+    """Reference `Conf.py:50-59`."""
+
+    lr: float = 0.001
+    batch: int = 1024
+    test_batch: int = 256
+    reg: float = 1e-5
+    epoch: int = 50
+    tstEpoch: int = 1
+    gnn_layer: int = 1
+    use_lr_scheduler: bool = True
+
+
+@dataclass
+class Config:
+    base: BaseConfig = field(default_factory=BaseConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    hyper: HyperConfig = field(default_factory=HyperConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+
+# legacy key -> (section-local new key | None to drop)
+_LEGACY_ALIASES: dict[str, str | None] = {
+    "sampling_steps": "sampling_step",
+    "e_loss": "sim_weight",
+    "keepRate": None,
+    "trans": None,
+    "rebuild_k": None,
+    "norm": None,
+    "sampling_noise": None,
+}
+
+
+def _filter_section(cls: type, raw: dict[str, Any], strict: bool) -> dict[str, Any]:
+    names = {f.name for f in dataclasses.fields(cls)}
+    out: dict[str, Any] = {}
+    for key, value in raw.items():
+        if key in names:
+            out[key] = value
+            continue
+        if key in _LEGACY_ALIASES:
+            mapped = _LEGACY_ALIASES[key]
+            if mapped is not None and mapped in names and mapped not in raw:
+                out[mapped] = value
+            continue
+        if strict:
+            raise ValueError(f"Unknown config key {key!r} for section {cls.__name__}")
+    return out
+
+
+def load_config(path: str, strict: bool = False) -> Config:
+    """Load a TOML config, tolerating the reference's legacy keys.
+
+    Reference `Conf.py:69-77` (which is strict and therefore rejects three of
+    the six shipped tomls — schema drift documented in SURVEY.md §2.2).
+    """
+    with open(path, "rb") as fh:
+        raw = tomllib.load(fh)
+    return config_from_dict(raw, strict=strict)
+
+
+def config_from_dict(raw: dict[str, Any], strict: bool = False) -> Config:
+    return Config(
+        base=BaseConfig(**_filter_section(BaseConfig, raw.get("base", {}), strict)),
+        data=DataConfig(**_filter_section(DataConfig, raw.get("data", {}), strict)),
+        hyper=HyperConfig(**_filter_section(HyperConfig, raw.get("hyper", {}), strict)),
+        train=TrainConfig(**_filter_section(TrainConfig, raw.get("train", {}), strict)),
+    )
+
+
+def config_to_dict(config: Config) -> dict[str, Any]:
+    return dataclasses.asdict(config)

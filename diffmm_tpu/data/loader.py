@@ -1,0 +1,228 @@
+"""Host-side dataset ingest -> device-resident static-shape arrays.
+
+Parity target: reference `DataHandler.py` (pickled scipy COO train/test
+matrices + ``.npy`` modality features, binarized, symmetric-normalized
+bipartite adjacency, per-user degrees). Differences by design:
+
+* Everything needed per epoch lives on device once, in static shapes — the
+  reference's per-epoch host round-trips (DOK negative sampling, edge-list
+  building, scipy renormalization; SURVEY.md §3.2) are all eliminated.
+* The dense train matrix (the reference materializes it as a device f32
+  tensor, `DataHandler.py:128`) is stored as int8 and cast per-batch: it
+  serves diffusion rows, the eval train-mask, and O(1) membership tests for
+  vectorized negative sampling.
+* Missing feature blobs (the mounted reference dataset lacks e.g. tiktok
+  ``text_feat.npy``) are synthesized deterministically with the documented
+  shape/dtype so every config stays runnable; a warning is logged.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from diffmm_tpu.config import Config
+from diffmm_tpu.ops.graph import BiAdj, build_bi_adj_host
+
+# Modality layout per dataset (reference `DataHandler.py:33-37`: all datasets
+# have image+text; only tiktok has audio).
+MODALITIES = {"tiktok": ["image", "text", "audio"]}
+DEFAULT_MODALITIES = ["image", "text"]
+
+# Documented feature dims for synthesizing missing blobs (BASELINE.md table).
+_SYNTH_FEAT_DIMS = {
+    ("tiktok", "image"): 128,
+    ("tiktok", "text"): 768,
+    ("tiktok", "audio"): 128,
+    ("baby", "image"): 4096,
+    ("baby", "text"): 1024,
+    ("sports", "image"): 4096,
+    ("sports", "text"): 1024,
+    ("yelp", "image"): 4096,
+    ("yelp", "text"): 1024,
+    ("ifashion", "image"): 4096,
+    ("ifashion", "text"): 1024,
+}
+
+
+def modality_names(dataset: str) -> list[str]:
+    return MODALITIES.get(dataset, DEFAULT_MODALITIES)
+
+
+def resolve_data_dir(name: str, explicit_root: str | None = None) -> str:
+    """Locate ``<root>/<name>/`` among the usual candidates."""
+    candidates = []
+    if explicit_root:
+        candidates.append(explicit_root)
+    env_root = os.environ.get("DIFFMM_DATA_ROOT")
+    if env_root:
+        candidates.append(env_root)
+    candidates += ["./Datasets", "/root/reference/Datasets"]
+    for root in candidates:
+        path = os.path.join(root, name)
+        if os.path.isdir(path):
+            return path
+    raise FileNotFoundError(
+        f"Dataset {name!r} not found under any of {candidates}; "
+        "set DIFFMM_DATA_ROOT or pass data_root."
+    )
+
+
+def load_interactions(path: str) -> sp.coo_matrix:
+    """Unpickle + binarize an interaction matrix (reference `DataHandler.py:41-50`)."""
+    with open(path, "rb") as fh:
+        mat = pickle.load(fh)
+    mat = (mat != 0).astype(np.float32)
+    if not isinstance(mat, sp.coo_matrix):
+        mat = sp.coo_matrix(mat)
+    return mat
+
+
+def _synthesize_features(name: str, modality: str, item_num: int) -> np.ndarray:
+    dim = _SYNTH_FEAT_DIMS.get((name, modality), 64)
+    rng = np.random.default_rng(abs(hash((name, modality))) % (2**32))
+    return rng.standard_normal((item_num, dim), dtype=np.float32)
+
+
+@dataclass
+class HostData:
+    """Everything loaded/derived on host, as numpy."""
+
+    name: str
+    user_num: int
+    item_num: int
+    modalities: list[str]
+    feat_dims: list[int]
+    # train interactions, user-major sorted
+    train_rows: np.ndarray  # (nnz,) int32
+    train_cols: np.ndarray  # (nnz,) int32
+    user_degrees: np.ndarray  # (U,) int32
+    csr_offsets: np.ndarray  # (U,) int32: start of each user's edge span
+    k_max: int  # max user degree (static top-k bound)
+    train_dense: np.ndarray  # (U, I) int8
+    raw_feats: list[np.ndarray]  # per modality (I, dim) f32
+    # test set
+    test_users: np.ndarray  # (Tu,) int32
+    test_items: np.ndarray  # (Tu, maxT) int32, padded with -1
+    test_counts: np.ndarray  # (Tu,) int32
+    synthesized: list[str] = field(default_factory=list)
+
+    @property
+    def nnz(self) -> int:
+        return int(self.train_rows.shape[0])
+
+
+class DeviceData(NamedTuple):
+    """Device-resident mirrors used inside jitted steps."""
+
+    adj: BiAdj
+    train_rows: jax.Array
+    train_cols: jax.Array
+    user_degrees: jax.Array
+    csr_offsets: jax.Array
+    train_dense: jax.Array  # (U, I) int8
+    raw_feats: list[jax.Array]
+    test_users: jax.Array
+    test_items: jax.Array
+    test_counts: jax.Array
+
+
+def load_host_data(config: Config, data_root: str | None = None) -> HostData:
+    """Load a dataset and fill ``config.data`` shape fields
+    (reference `DataHandler.py:107-131`)."""
+    name = config.data.name
+    data_dir = resolve_data_dir(name, data_root)
+
+    train = load_interactions(os.path.join(data_dir, "trnMat.pkl"))
+    test = load_interactions(os.path.join(data_dir, "tstMat.pkl"))
+    user_num, item_num = train.shape
+    config.data.user_num, config.data.item_num = int(user_num), int(item_num)
+
+    # User-major sorted edges; stable order inside a user row.
+    order = np.lexsort((train.col, train.row))
+    rows = train.row.astype(np.int32)[order]
+    cols = train.col.astype(np.int32)[order]
+    degrees = np.bincount(rows, minlength=user_num).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(degrees[:-1])]).astype(np.int32)
+
+    dense = np.zeros((user_num, item_num), dtype=np.int8)
+    dense[rows, cols] = 1
+
+    mods = modality_names(name)
+    raw_feats, feat_dims, synthesized = [], [], []
+    for mod in mods:
+        path = os.path.join(data_dir, f"{mod}_feat.npy")
+        if os.path.exists(path):
+            feats = np.load(path).astype(np.float32)
+            if feats.shape[0] != item_num:
+                raise ValueError(
+                    f"{path}: expected {item_num} rows, got {feats.shape[0]}"
+                )
+        else:
+            feats = _synthesize_features(name, mod, item_num)
+            synthesized.append(mod)
+        raw_feats.append(feats)
+        feat_dims.append(int(feats.shape[1]))
+
+    dim_fields = {"image": "image_feat_dim", "text": "text_feat_dim", "audio": "audio_feat_dim"}
+    for mod, dim in zip(mods, feat_dims):
+        setattr(config.data, dim_fields[mod], dim)
+
+    # Test users + padded per-user test item lists (reference
+    # `DataHandler.py:179-202`). Order follows first appearance in the COO
+    # stream only incidentally in the reference; we sort by user id.
+    test_rows = test.row.astype(np.int32)
+    test_cols = test.col.astype(np.int32)
+    t_order = np.lexsort((test_cols, test_rows))
+    test_rows, test_cols = test_rows[t_order], test_cols[t_order]
+    test_users, t_counts = np.unique(test_rows, return_counts=True)
+    max_t = int(t_counts.max()) if len(t_counts) else 1
+    test_items = np.full((len(test_users), max_t), -1, dtype=np.int32)
+    start = 0
+    for i, c in enumerate(t_counts):
+        test_items[i, :c] = test_cols[start : start + c]
+        start += c
+
+    return HostData(
+        name=name,
+        user_num=int(user_num),
+        item_num=int(item_num),
+        modalities=mods,
+        feat_dims=feat_dims,
+        train_rows=rows,
+        train_cols=cols,
+        user_degrees=degrees,
+        csr_offsets=offsets,
+        k_max=int(degrees.max()),
+        train_dense=dense,
+        raw_feats=raw_feats,
+        test_users=test_users.astype(np.int32),
+        test_items=test_items,
+        test_counts=t_counts.astype(np.int32),
+        synthesized=synthesized,
+    )
+
+
+def to_device(host: HostData) -> DeviceData:
+    adj = build_bi_adj_host(
+        host.train_rows, host.train_cols, host.user_num, host.item_num
+    )
+    return DeviceData(
+        adj=adj,
+        train_rows=jnp.asarray(host.train_rows),
+        train_cols=jnp.asarray(host.train_cols),
+        user_degrees=jnp.asarray(host.user_degrees),
+        csr_offsets=jnp.asarray(host.csr_offsets),
+        train_dense=jnp.asarray(host.train_dense),
+        raw_feats=[jnp.asarray(f) for f in host.raw_feats],
+        test_users=jnp.asarray(host.test_users),
+        test_items=jnp.asarray(host.test_items),
+        test_counts=jnp.asarray(host.test_counts),
+    )

@@ -1,0 +1,87 @@
+"""Synthetic dataset generator for tests and CI (no reference counterpart —
+the reference ships real pickles only; SURVEY.md §4 mandates a synthetic
+end-to-end path since several shipped blobs are missing)."""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from diffmm_tpu.config import Config
+from diffmm_tpu.data.loader import HostData
+
+
+def make_synthetic_host_data(
+    config: Config,
+    user_num: int = 50,
+    item_num: int = 40,
+    density: float = 0.06,
+    test_per_user: int = 2,
+    seed: int = 0,
+    modalities: list[str] | None = None,
+    feat_dims: list[int] | None = None,
+) -> HostData:
+    """Random bipartite graph + gaussian features, same invariants as real data.
+
+    Every user is guaranteed >= 1 train interaction (the rebuild scatter
+    layout assumes sum(degrees) == nnz with per-user CSR spans).
+    """
+    rng = np.random.default_rng(seed)
+    mods = modalities or ["image", "text", "audio"]
+    dims = feat_dims or [16, 24, 16][: len(mods)]
+
+    dense = (rng.random((user_num, item_num)) < density).astype(np.int8)
+    # guarantee at least one interaction per user and per item
+    for u in range(user_num):
+        if dense[u].sum() == 0:
+            dense[u, rng.integers(item_num)] = 1
+    rows, cols = np.nonzero(dense)
+    rows = rows.astype(np.int32)
+    cols = cols.astype(np.int32)
+    degrees = np.bincount(rows, minlength=user_num).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(degrees[:-1])]).astype(np.int32)
+
+    raw_feats = [rng.standard_normal((item_num, d), dtype=np.float32) for d in dims]
+
+    # test set: a few held-out items per user (may overlap train; fine for tests)
+    t_users, t_items = [], []
+    for u in range(user_num):
+        its = rng.choice(item_num, size=test_per_user, replace=False)
+        t_users.append(u)
+        t_items.append(its.astype(np.int32))
+    test_users = np.array(t_users, dtype=np.int32)
+    test_items = np.stack(t_items)
+    test_counts = np.full(user_num, test_per_user, dtype=np.int32)
+
+    config.data.name = "synthetic"
+    config.data.user_num = user_num
+    config.data.item_num = item_num
+    dim_fields = {"image": "image_feat_dim", "text": "text_feat_dim", "audio": "audio_feat_dim"}
+    for mod, d in zip(mods, dims):
+        setattr(config.data, dim_fields[mod], d)
+
+    return HostData(
+        name="synthetic",
+        user_num=user_num,
+        item_num=item_num,
+        modalities=mods,
+        feat_dims=list(dims),
+        train_rows=rows,
+        train_cols=cols,
+        user_degrees=degrees,
+        csr_offsets=offsets,
+        k_max=int(degrees.max()),
+        train_dense=dense,
+        raw_feats=raw_feats,
+        test_users=test_users,
+        test_items=test_items,
+        test_counts=test_counts,
+    )
+
+
+def to_scipy_coo(host: HostData) -> sp.coo_matrix:
+    """Scipy view of the train matrix (for parity tests against scipy)."""
+    return sp.coo_matrix(
+        (np.ones(host.nnz, dtype=np.float32), (host.train_rows, host.train_cols)),
+        shape=(host.user_num, host.item_num),
+    )

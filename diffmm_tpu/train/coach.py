@@ -1,0 +1,306 @@
+"""Coach: the training/eval driver.
+
+Parity target: reference `Main.py:18-448` (class ``Coach``) — same three-phase
+epoch structure, metric accounting, logging surface, and best tracking, with
+every per-epoch compute path jitted and device-resident (the reference's host
+hot loops — DOK negative sampling, Python edge building, Python metric loops;
+SURVEY.md §3.2/§3.4 — are all replaced by compiled static-shape programs).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffmm_tpu.config import Config
+from diffmm_tpu.data.loader import DeviceData, HostData, to_device
+from diffmm_tpu.data.sampling import negative_sampling
+from diffmm_tpu.diffusion.schedule import make_schedule
+from diffmm_tpu.eval.ranking import dcg_table, eval_batch
+from diffmm_tpu.models.denoise import init_denoise_params
+from diffmm_tpu.models.gcn import init_gcn_params
+from diffmm_tpu.ops.graph import BiAdj, build_bi_adj_device
+from diffmm_tpu.train.optim import cosine_lr, make_adam
+from diffmm_tpu.train.steps import make_train_steps
+from diffmm_tpu.utils.logging import Log
+
+_build_adj_jit = partial(
+    jax.jit, static_argnames=("user_num", "item_num", "rows_sorted")
+)(build_bi_adj_device)
+
+
+def _pad_blocks(n: int, batch: int) -> tuple[np.ndarray, np.ndarray]:
+    """Indices [0, n) padded to a multiple of ``batch`` + validity mask."""
+    n_blocks = max(1, -(-n // batch))
+    idx = np.zeros(n_blocks * batch, dtype=np.int32)
+    idx[:n] = np.arange(n, dtype=np.int32)
+    valid = np.zeros(n_blocks * batch, dtype=bool)
+    valid[:n] = True
+    return idx, valid
+
+
+class Coach:
+    def __init__(
+        self,
+        config: Config,
+        host: HostData,
+        device: DeviceData | None = None,
+        log: Log | None = None,
+    ):
+        self.config = config
+        self.host = host
+        self.data = device if device is not None else to_device(host)
+        self.log = log or Log("coach", config.data.name)
+        self.n_modal = len(host.modalities)
+
+        self.schedule = make_schedule(
+            config.hyper.noise_scale,
+            config.hyper.noise_min,
+            config.hyper.noise_max,
+            config.hyper.steps,
+        )
+        self.steps = make_train_steps(
+            config, self.schedule, self.n_modal, host.k_max, host.nnz
+        )
+        self.cum_dcg = dcg_table(config.base.topk)
+        self.key = jax.random.PRNGKey(config.base.seed)
+        self.np_rng = np.random.default_rng(config.base.seed)
+
+        # ---- parameters & optimizer state (reference Main.py:85-110) ----
+        tx = make_adam()
+        self.key, k_gcn, *k_dns = jax.random.split(self.key, 2 + self.n_modal)
+        self.gcn_params = init_gcn_params(
+            k_gcn, host.user_num, host.item_num, config.base.latdim, host.feat_dims
+        )
+        hidden = config.base.denoise_dims()
+        self.dn_params = [
+            init_denoise_params(
+                k, host.item_num, hidden, config.base.d_emb_size, config.base.latdim
+            )
+            for k in k_dns
+        ]
+        self.gcn_opt_state = tx.init(self.gcn_params)
+        self.dn_opt_states = [tx.init(p) for p in self.dn_params]
+
+        self.modal_adjs: list[BiAdj] | None = None
+        self.epoch_times: list[float] = []
+
+        self.log.info(f"USER: {host.user_num}, ITEM: {host.item_num}")
+        self.log.info(f"NUM OF INTERACTIONS: {host.nnz}")
+        if host.synthesized:
+            self.log.info(
+                f"⚠️ synthesized missing feature blobs for: {host.synthesized}"
+            )
+
+    # ------------------------------------------------------------------ keys
+    def _next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ----------------------------------------------------------------- epoch
+    def train_epoch(self, epoch: int) -> dict[str, float]:
+        cfg = self.config
+        data = self.data
+        batch = cfg.train.batch
+        if cfg.train.use_lr_scheduler:
+            lr = cosine_lr(epoch, cfg.train.lr, cfg.train.epoch)
+        else:
+            lr = cfg.train.lr
+        lr = jnp.float32(lr)
+
+        # Phase 0: negative sampling (reference Main.py:137)
+        negs = negative_sampling(
+            self._next_key(), data.train_rows, data.train_dense, self.host.item_num
+        )
+
+        # Phase 1: diffusion training (reference Main.py:144-192)
+        user_perm = self.np_rng.permutation(self.host.user_num).astype(np.int32)
+        idx, valid = _pad_blocks(self.host.user_num, batch)
+        users_ep = jnp.asarray(user_perm[idx % self.host.user_num])
+        valid_ep = jnp.asarray(valid)
+        n_diff_blocks = len(idx) // batch
+        modal_loss_acc = np.zeros(self.n_modal)
+        for b in range(n_diff_blocks):
+            sl = slice(b * batch, (b + 1) * batch)
+            self.dn_params, self.dn_opt_states, losses = self.steps.diffusion_step(
+                self.dn_params,
+                self.dn_opt_states,
+                self.gcn_params,
+                data.raw_feats,
+                data.train_dense,
+                users_ep[sl],
+                valid_ep[sl].astype(jnp.float32),
+                self._next_key(),
+                lr,
+            )
+            losses = np.asarray(losses)
+            # reference Main.py:174-185 accounting quirk: accumulate, then
+            # divide the accumulator by this batch's total loss.
+            total = max(losses.sum(), 1e-12)
+            modal_loss_acc += losses
+            modal_loss_acc /= total
+
+        # Phase 2: modality graph rebuild (reference Main.py:195-253)
+        idx, valid = _pad_blocks(self.host.user_num, batch)
+        users_seq = jnp.asarray(idx)
+        valid_seq = jnp.asarray(valid)
+        edge_buffers = [
+            jnp.zeros(self.host.nnz, dtype=jnp.int32) for _ in range(self.n_modal)
+        ]
+        for b in range(len(idx) // batch):
+            sl = slice(b * batch, (b + 1) * batch)
+            edge_buffers = self.steps.rebuild_step(
+                self.dn_params,
+                data.train_dense,
+                users_seq[sl],
+                data.user_degrees,
+                data.csr_offsets,
+                valid_seq[sl],
+                edge_buffers,
+                self._next_key(),
+            )
+        self.modal_adjs = [
+            _build_adj_jit(
+                data.train_rows,
+                buf,
+                user_num=self.host.user_num,
+                item_num=self.host.item_num,
+            )
+            for buf in edge_buffers
+        ]
+
+        # Phase 3: joint GCN training (reference Main.py:291-377)
+        perm = self.np_rng.permutation(self.host.nnz).astype(np.int32)
+        idx, _ = _pad_blocks(self.host.nnz, batch)
+        # wrap-pad the final partial block with recycled interactions
+        perm_pad = perm[idx % self.host.nnz]
+        perm_dev = jnp.asarray(perm_pad)
+        users_ep = data.train_rows.take(perm_dev)
+        pos_ep = data.train_cols.take(perm_dev)
+        neg_ep = negs.take(perm_dev)
+        n_joint_blocks = len(perm_pad) // batch
+        joint_acc = np.zeros(4)
+        for b in range(n_joint_blocks):
+            sl = slice(b * batch, (b + 1) * batch)
+            self.gcn_params, self.gcn_opt_state, metrics = self.steps.joint_step(
+                self.gcn_params,
+                self.gcn_opt_state,
+                data.adj,
+                tuple(self.modal_adjs),
+                data.raw_feats,
+                users_ep[sl],
+                pos_ep[sl],
+                neg_ep[sl],
+                self._next_key(),
+                lr,
+            )
+            joint_acc += np.asarray(metrics)
+
+        # Metric accounting mirrors reference Main.py:379-388 (floor division)
+        train_steps_n = max(1, self.host.nnz // batch)
+        diff_steps_n = max(1, self.host.user_num // batch)
+        result = {
+            "Loss": joint_acc[0] / train_steps_n,
+            "BPR Loss": joint_acc[1] / train_steps_n,
+            "reg loss": joint_acc[2] / train_steps_n,
+            "CL loss": joint_acc[3] / train_steps_n,
+        }
+        names = {"image": "image loss", "text": "text loss", "audio": "audio loss"}
+        for m, mod in enumerate(self.host.modalities):
+            result[names[mod]] = modal_loss_acc[m] / diff_steps_n
+        return result
+
+    # ------------------------------------------------------------------ eval
+    def test_epoch(self) -> dict[str, float]:
+        """Full-catalog ranking eval (reference `Main.py:390-420`)."""
+        assert self.modal_adjs is not None, (
+            "eval depends on the epoch's rebuilt modality graphs "
+            "(reference Main.py:398-400); run train_epoch first"
+        )
+        cfg = self.config
+        data = self.data
+        u_final, i_final = self.steps.gcn_forward(
+            self.gcn_params, data.adj, tuple(self.modal_adjs), data.raw_feats
+        )
+        n_test = len(self.host.test_users)
+        batch = cfg.train.test_batch
+        idx, valid = _pad_blocks(n_test, batch)
+        idx_w = idx % max(n_test, 1)
+        users = data.test_users.take(jnp.asarray(idx_w))
+        t_items = data.test_items.take(jnp.asarray(idx_w), axis=0)
+        t_counts = data.test_counts.take(jnp.asarray(idx_w))
+        valid_dev = jnp.asarray(valid)
+        sums = np.zeros(3)
+        for b in range(len(idx) // batch):
+            sl = slice(b * batch, (b + 1) * batch)
+            out = eval_batch(
+                u_final,
+                i_final,
+                users[sl],
+                valid_dev[sl],
+                data.train_dense,
+                t_items[sl],
+                t_counts[sl],
+                self.cum_dcg,
+                cfg.base.topk,
+            )
+            sums += np.asarray(out)
+        return {
+            "Recall": sums[0] / n_test,
+            "NDCG": sums[1] / n_test,
+            "Precision": sums[2] / n_test,
+        }
+
+    # ------------------------------------------------------------------- run
+    def make_print(self, name: str, epoch: int, results: dict[str, float]) -> str:
+        """Reference `Main.py:26-33`."""
+        s = f"Epoch {epoch}/{self.config.train.epoch}, {name}: "
+        s += ", ".join(f"{k}={v:.5f}" for k, v in results.items())
+        return s + "  "
+
+    def run(self, epochs: int | None = None) -> dict[str, float]:
+        """Epoch loop with best tracking (reference `Main.py:45-82`)."""
+        cfg = self.config
+        n_epochs = epochs if epochs is not None else cfg.train.epoch
+        recall_max = ndcg_max = precision_max = 0.0
+        his_max = [0.0, 0.0, 0.0]
+        best_epoch = 0
+        self.log.info("Model Initialized ✅")
+        self.log.info("Start training 🚀")
+        try:
+            for epoch in range(n_epochs):
+                tst_flag = epoch % cfg.train.tstEpoch == 0
+                t0 = time.perf_counter()
+                result = self.train_epoch(epoch)
+                jax.block_until_ready(self.gcn_params["u_embs"])
+                self.epoch_times.append(time.perf_counter() - t0)
+                self.log.info(self.make_print("⏩ Train", epoch, result))
+                if tst_flag:
+                    result = self.test_epoch()
+                    his_max = [max(a, b) for a, b in zip(
+                        [result["Recall"], result["NDCG"], result["Precision"]], his_max
+                    )]
+                    if result["Recall"] > recall_max:
+                        recall_max = result["Recall"]
+                        ndcg_max = result["NDCG"]
+                        precision_max = result["Precision"]
+                        best_epoch = epoch
+                    self.log.info(self.make_print("🧪 Test", epoch, result))
+                self.log.info(
+                    f"💡 Current best: Epoch: {best_epoch}, "
+                    f"Recall: {recall_max:.5f}({his_max[0]:.5f}), "
+                    f"NDCG: {ndcg_max:.5f}({his_max[1]:.5f}), "
+                    f"Precision: {precision_max:.5f}({his_max[2]:.5f})"
+                )
+        except KeyboardInterrupt:
+            self.log.info("🈲 Training interrupted by user!")
+        return {
+            "best_epoch": best_epoch,
+            "Recall": recall_max,
+            "NDCG": ndcg_max,
+            "Precision": precision_max,
+        }

@@ -1,0 +1,221 @@
+"""Jitted per-batch step functions for the three training phases.
+
+The reference epoch (reference `Main.py:136-388`, SURVEY.md §3.2) becomes
+three compiled programs, all static-shape:
+
+  * Phase 1 — ``diffusion_step``: train every modality denoiser on one block
+    of dense user rows (reference `Main.py:144-192`). The per-modality losses
+    are normalized by the *detached* sum before backward
+    (`Main.py:174-185`) — here via ``stop_gradient``.
+  * Phase 2 — ``rebuild_step``: reverse-diffuse one block of user rows per
+    modality and scatter each user's top-``degree`` items into that
+    modality's static (nnz,) edge buffer (reference `Main.py:195-253`).
+  * Phase 3 — ``joint_step``: full-graph multi-modal GCN forward + BPR + L2 +
+    cross-layer CL + cross-modal CL, one Adam step on the main model
+    (reference `Main.py:291-377`).
+
+All hyperparameters that never change during a run are closed over as Python
+floats (compile-time constants); the LR is a traced scalar so per-epoch cosine
+annealing does not retrace.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from diffmm_tpu.config import Config
+from diffmm_tpu.diffusion.gaussian import generate_view, training_losses
+from diffmm_tpu.diffusion.schedule import DiffusionSchedule
+from diffmm_tpu.models.gcn import gcn_mm, project_features
+from diffmm_tpu.ops.graph import BiAdj, spmm_bi
+from diffmm_tpu.ops.losses import bpr_loss, info_nce, l2_normalize, l2_reg_loss
+from diffmm_tpu.ops.topk import topk_scatter_edges
+from diffmm_tpu.train.optim import adam_update, make_adam
+
+
+class TrainSteps(NamedTuple):
+    diffusion_step: Any
+    rebuild_step: Any
+    joint_step: Any
+    gcn_forward: Any
+
+
+def make_train_steps(
+    config: Config,
+    schedule: DiffusionSchedule,
+    n_modal: int,
+    k_max: int,
+    nnz: int,
+) -> TrainSteps:
+    hyper = config.hyper
+    train_cfg = config.train
+    tx = make_adam()
+
+    # ---------------------------------------------------------------- phase 1
+    def _modal_losses(dn_params_list, gcn_params, raw_feats, x0, weights, key):
+        feats = [
+            jax.lax.stop_gradient(f) for f in project_features(gcn_params, raw_feats)
+        ]
+        i_embs = jax.lax.stop_gradient(gcn_params["i_embs"])
+        keys = jax.random.split(key, n_modal)
+        w_sum = jnp.maximum(jnp.sum(weights), 1.0)
+        losses = []
+        for m in range(n_modal):
+            per_row = training_losses(
+                schedule,
+                dn_params_list[m],
+                x0,
+                i_embs,
+                feats[m],
+                keys[m],
+                sim_weight=hyper.sim_weight,
+                reg=train_cfg.reg,
+            )
+            losses.append(jnp.sum(per_row * weights) / w_sum)
+        return losses
+
+    @jax.jit
+    def diffusion_step(dn_params_list, dn_opt_states, gcn_params, raw_feats,
+                       train_dense, users, weights, key, lr):
+        """One optimizer step for every denoiser on one user-row block.
+
+        ``users`` indexes rows of the int8 dense train matrix (gathered and
+        cast on device — the reference streams pre-materialized dense f32
+        rows through a DataLoader, `DataHandler.py:128,211-228`). ``weights``
+        is the (B,) validity mask for padded rows — the masked mean
+        reproduces the reference's plain mean over its (possibly short)
+        final batch.
+        """
+        x0 = train_dense.take(users, axis=0).astype(jnp.float32)
+
+        def loss_fn(dn_list):
+            losses = _modal_losses(dn_list, gcn_params, raw_feats, x0, weights, key)
+            total = jax.lax.stop_gradient(sum(losses))
+            # reference Main.py:174-185: sum of losses / detached total
+            return sum(losses) / total, losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(dn_params_list)
+        new_params, new_states = [], []
+        for m in range(n_modal):
+            p, s = adam_update(tx, grads[m], dn_opt_states[m], dn_params_list[m], lr)
+            new_params.append(p)
+            new_states.append(s)
+        return new_params, new_states, jnp.stack(losses)
+
+    # ---------------------------------------------------------------- phase 2
+    @jax.jit
+    def rebuild_step(dn_params_list, train_dense, users, degrees_all,
+                     offsets_all, valid, edge_buffers, key):
+        """Reverse-diffuse a user block per modality, scatter top-k edges."""
+        x0 = train_dense.take(users, axis=0).astype(jnp.float32)
+        degrees = degrees_all.take(users)
+        offsets = offsets_all.take(users)
+        keys = jax.random.split(key, n_modal)
+        new_buffers = []
+        for m in range(n_modal):
+            denoised = generate_view(
+                schedule,
+                dn_params_list[m],
+                x0,
+                sampling_step=hyper.sampling_step,
+                key=keys[m],
+            )
+            new_buffers.append(
+                topk_scatter_edges(
+                    denoised, degrees, offsets, valid, k_max, nnz, edge_buffers[m]
+                )
+            )
+        return new_buffers
+
+    # ---------------------------------------------------------------- phase 3
+    def _cross_layer_cl(params, adj: BiAdj, users, pos_items, key):
+        """3-layer noisy propagation + layer-0-vs-mean InfoNCE
+        (reference `Main.py:314-334`)."""
+        ju, ji = params["u_embs"], params["i_embs"]
+        acc_u = jnp.zeros_like(ju)
+        acc_i = jnp.zeros_like(ji)
+        layer0_u, layer0_i = ju, ji
+        keys = jax.random.split(key, 6)
+        for k in range(3):
+            ju, ji = spmm_bi(adj, ju, ji)
+            noise_u = jax.random.uniform(keys[2 * k], ju.shape, dtype=ju.dtype)
+            noise_i = jax.random.uniform(keys[2 * k + 1], ji.shape, dtype=ji.dtype)
+            ju = ju + jnp.sign(ju) * l2_normalize(noise_u, axis=1) * hyper.noise_degree
+            ji = ji + jnp.sign(ji) * l2_normalize(noise_i, axis=1) * hyper.noise_degree
+            acc_u = acc_u + ju
+            acc_i = acc_i + ji
+            if k == 0:
+                layer0_u, layer0_i = ju, ji
+        mean_u, mean_i = acc_u / 3.0, acc_i / 3.0
+        return (
+            info_nce(mean_u, layer0_u, users, hyper.cross_cl_temp)
+            + info_nce(mean_i, layer0_i, pos_items, hyper.cross_cl_temp)
+        ) * hyper.cross_cl_rate
+
+    def _modal_cl(out, users, pos_items):
+        """Cross-modal CL per cl_method (reference `Main.py:339-368`).
+
+        cl_method == 1: pairwise modality-vs-modality; else every modality
+        against the final view (the toml comments invert this mapping — the
+        code is authoritative, SURVEY.md §2.2)."""
+        loss = 0.0
+        if config.base.cl_method == 1:
+            for a in range(n_modal):
+                for b in range(a + 1, n_modal):
+                    loss += (
+                        info_nce(out.modal_u[a], out.modal_u[b], users, hyper.modal_cl_temp)
+                        + info_nce(out.modal_i[a], out.modal_i[b], pos_items, hyper.modal_cl_temp)
+                    ) * hyper.modal_cl_rate
+        else:
+            for m in range(n_modal):
+                loss += (
+                    info_nce(out.u_final, out.modal_u[m], users, hyper.modal_cl_temp)
+                    + info_nce(out.i_final, out.modal_i[m], pos_items, hyper.modal_cl_temp)
+                ) * hyper.modal_cl_rate
+        return loss
+
+    @jax.jit
+    def joint_step(gcn_params, opt_state, adj, modal_adjs, raw_feats,
+                   users, pos_items, neg_items, key, lr):
+        def loss_fn(params):
+            out = gcn_mm(
+                params, adj, list(modal_adjs), raw_feats,
+                modal_adj_weight=hyper.modal_adj_weight,
+                residual_weight=hyper.residual_weight,
+            )
+            u_e = out.u_final.take(users, axis=0)
+            pos_e = out.i_final.take(pos_items, axis=0)
+            neg_e = out.i_final.take(neg_items, axis=0)
+            rec = bpr_loss(u_e, pos_e, neg_e)
+            reg = l2_reg_loss(train_cfg.reg, [params["u_embs"], params["i_embs"]])
+            cl = _cross_layer_cl(params, adj, users, pos_items, key)
+            cl = cl + _modal_cl(out, users, pos_items)
+            total = rec + reg + cl
+            return total, (rec, reg, cl)
+
+        (total, (rec, reg, cl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            gcn_params
+        )
+        new_params, new_state = adam_update(tx, grads, opt_state, gcn_params, lr)
+        metrics = jnp.stack([total, rec, reg, cl])
+        return new_params, new_state, metrics
+
+    # ------------------------------------------------------------------ eval
+    @jax.jit
+    def gcn_forward(gcn_params, adj, modal_adjs, raw_feats):
+        out = gcn_mm(
+            gcn_params, adj, list(modal_adjs), raw_feats,
+            modal_adj_weight=hyper.modal_adj_weight,
+            residual_weight=hyper.residual_weight,
+        )
+        return out.u_final, out.i_final
+
+    return TrainSteps(
+        diffusion_step=diffusion_step,
+        rebuild_step=rebuild_step,
+        joint_step=joint_step,
+        gcn_forward=gcn_forward,
+    )
