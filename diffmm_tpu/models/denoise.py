@@ -45,8 +45,15 @@ def _torch_linear_default(key, fan_in, shape):
 def init_denoise_params(
     key: jax.Array, item_num: int, hidden_dims: list[int], time_emb_dim: int, latdim: int
 ) -> Params:
-    """Build the parameter pytree for one modality's denoiser."""
-    in_dims = [item_num + time_emb_dim] + list(hidden_dims)
+    """Build the parameter pytree for one modality's denoiser.
+
+    Layer chain mirrors the reference's construction (`Main.py:97-98`:
+    ``out_dims = denoise_dim + [item_num]; in_dims = out_dims[::-1]``, then
+    `Model.py:156-162` prepends the time embedding to the first in-dim): the
+    in-stack walks the hidden widths *reversed*, the out-stack forward —
+    e.g. hidden [64, 32] gives I+10 -> 32 -> 64, then 64 -> 32 -> I.
+    """
+    in_dims = [item_num + time_emb_dim] + list(reversed(hidden_dims))
     out_dims = list(hidden_dims) + [item_num]
     keys = jax.random.split(key, 2 * (len(in_dims) - 1) + 2 * (len(out_dims) - 1) + 4)
     ki = iter(range(len(keys)))

@@ -6,14 +6,19 @@ Must set flags before jax initializes a backend (SURVEY.md §4: the JAX-native
 
 import os
 
-# Force CPU even when the ambient environment selects a TPU backend
-# (JAX_PLATFORMS=axon): unit tests must be hermetic and fast.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# Force CPU even when the ambient environment selects a TPU backend.
+# The ambient sitecustomize imports jax at interpreter start with
+# JAX_PLATFORMS=axon, so the env var is already consumed — the config
+# update is the only override that still works post-import.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
