@@ -210,14 +210,33 @@ def load_host_data(config: Config, data_root: str | None = None) -> HostData:
     )
 
 
+# Edge arrays are padded to this multiple so the nnz axis shards evenly over
+# any realistic data-parallel mesh degree. Pad entries carry the sentinel
+# indices (user_num, item_num), which drop out of all segment_sum scatters
+# (see ops/graph.py docstrings); overhead is < 256 fake edges.
+EDGE_ALIGN = 256
+
+
+def pad_edges(
+    rows: np.ndarray, cols: np.ndarray, user_num: int, item_num: int,
+    multiple: int = EDGE_ALIGN,
+) -> tuple[np.ndarray, np.ndarray]:
+    pad = -len(rows) % multiple
+    if pad:
+        rows = np.concatenate([rows, np.full(pad, user_num, dtype=np.int32)])
+        cols = np.concatenate([cols, np.full(pad, item_num, dtype=np.int32)])
+    return rows, cols
+
+
 def to_device(host: HostData) -> DeviceData:
-    adj = build_bi_adj_host(
+    rows_p, cols_p = pad_edges(
         host.train_rows, host.train_cols, host.user_num, host.item_num
     )
+    adj = build_bi_adj_host(rows_p, cols_p, host.user_num, host.item_num)
     return DeviceData(
         adj=adj,
-        train_rows=jnp.asarray(host.train_rows),
-        train_cols=jnp.asarray(host.train_cols),
+        train_rows=jnp.asarray(rows_p),
+        train_cols=jnp.asarray(cols_p),
         user_degrees=jnp.asarray(host.user_degrees),
         csr_offsets=jnp.asarray(host.csr_offsets),
         train_dense=jnp.asarray(host.train_dense),

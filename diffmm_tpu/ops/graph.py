@@ -80,13 +80,18 @@ def build_bi_adj_host(
     Duplicate edges must already be removed. Mirrors the normalization of
     reference `DataHandler.py:52-93` exactly (binary adjacency + identity,
     symmetric D^-1/2 normalization).
+
+    Edge arrays may carry *sentinel padding* entries ``(user_num, item_num)``
+    at the tail (added so the nnz axis is evenly shardable over a device
+    mesh). Sentinels contribute nothing: segment_sum drops out-of-range
+    scatter indices, and degree counting here excludes them explicitly.
     """
     order = np.argsort(rows, kind="stable")
     rows = np.asarray(rows, dtype=np.int32)[order]
     cols = np.asarray(cols, dtype=np.int32)[order]
     iu_perm = np.argsort(cols, kind="stable").astype(np.int32)
-    deg_u = np.bincount(rows, minlength=user_num).astype(np.float64)
-    deg_i = np.bincount(cols, minlength=item_num).astype(np.float64)
+    deg_u = np.bincount(rows, minlength=user_num)[:user_num].astype(np.float64)
+    deg_i = np.bincount(cols, minlength=item_num)[:item_num].astype(np.float64)
     s_user = ((deg_u + 1.0) ** -0.5).astype(np.float32)
     s_item = ((deg_i + 1.0) ** -0.5).astype(np.float32)
     return BiAdj(
@@ -110,6 +115,10 @@ def build_bi_adj_device(
     Replaces the host scipy round-trip of reference `Main.py:233-253` /
     `DataHandler.py:68-93`: degrees via segment_sum, item-major ordering via a
     single argsort — all on device, all static shapes.
+
+    Sentinel padding entries ``(user_num, item_num)`` are tolerated: their
+    out-of-range indices drop out of every segment_sum (degree counting here
+    and message passing in :func:`spmm_bi`).
     """
     ones = jnp.ones_like(ui_rows, dtype=jnp.float32)
     deg_u = jax.ops.segment_sum(

@@ -33,7 +33,7 @@ def topk_scatter_edges(
     offsets: jax.Array,
     valid: jax.Array,
     k_max: int,
-    nnz: int,
+    buf_len: int,
     edge_buffer: jax.Array,
 ) -> jax.Array:
     """Scatter each user's top-``degree`` item indices into the edge buffer.
@@ -44,18 +44,20 @@ def topk_scatter_edges(
       offsets: (B,) int32 CSR start offset of each user in the edge buffer.
       valid: (B,) bool, False for padding rows of the block.
       k_max: static per-dataset maximum user degree.
-      nnz: static total edge count (== train nnz).
-      edge_buffer: (nnz,) int32 buffer carried across user blocks.
+      buf_len: static buffer length (train nnz padded to the shard alignment;
+        only the first nnz positions are ever written — pad lanes keep their
+        item_num sentinel so they drop from the rebuilt adjacency).
+      edge_buffer: (buf_len,) int32 buffer carried across user blocks.
 
     Returns:
-      Updated (nnz,) edge buffer of item indices (user ids are implicit in the
-      CSR layout).
+      Updated (buf_len,) edge buffer of item indices (user ids are implicit in
+      the CSR layout).
     """
     _, top_idx = jax.lax.top_k(scores, k_max)  # (B, k_max)
     lane = jnp.arange(k_max, dtype=jnp.int32)[None, :]
     keep = (lane < degrees[:, None]) & valid[:, None]
-    # Invalid lanes target index nnz (out of range) and are dropped.
-    pos = jnp.where(keep, offsets[:, None] + lane, nnz)
+    # Invalid lanes target index buf_len (out of range) and are dropped.
+    pos = jnp.where(keep, offsets[:, None] + lane, buf_len)
     return edge_buffer.at[pos.reshape(-1)].set(
         top_idx.astype(jnp.int32).reshape(-1), mode="drop"
     )

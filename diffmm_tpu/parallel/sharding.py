@@ -1,0 +1,103 @@
+"""Sharding layout: how every array of the workload is placed on the mesh.
+
+The recipe is the standard single-controller JAX one: place inputs with
+`jax.device_put(x, NamedSharding(mesh, spec))`, let `jit` propagate shardings
+through the (unchanged) step functions, and let XLA insert the collectives —
+gradient ``psum`` over the ``data`` axis, ``all_gather``/``reduce_scatter``
+around the catalog-sharded matmuls — over ICI.
+
+Layout (mesh axes ``(data, model)``, SURVEY.md §2.3):
+
+  * **replicated** — all model parameters, optimizer state, normalization
+    vectors, projected/raw modality features, the diffusion schedule. These
+    are O(N·latdim) and tiny next to the catalog-dim buffers.
+  * **data axis** — every per-batch leading dimension: interaction triples
+    (users/pos/neg), diffusion user-row blocks, eval user blocks; and the
+    train edge list (nnz-length arrays), so each device reduces its edge
+    shard in SpMM and XLA cross-reduces the full-size outputs.
+  * **model axis** — the catalog (item) dimension of the big buffers: the
+    dense train matrix ``(U, I)`` (the largest array in the workload —
+    yelp-scale is tens of millions of cells, reference `DataHandler.py:128`
+    materializes it dense on one GPU), and with it every ``(B, I)``
+    intermediate the diffusion phases produce.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from diffmm_tpu.data.loader import DeviceData, HostData
+from diffmm_tpu.ops.graph import BiAdj
+from diffmm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    """First dim split over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def catalog_sharded(mesh: Mesh) -> NamedSharding:
+    """(…, item) matrix with the item axis split over the model axis."""
+    return NamedSharding(mesh, P(None, MODEL_AXIS))
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Place an arbitrary pytree fully replicated on the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_batch(x: jax.Array, mesh: Mesh) -> jax.Array:
+    """Split a per-batch array's leading dim over the data axis."""
+    return jax.device_put(x, data_sharded(mesh))
+
+
+def _shard_adj(adj: BiAdj, mesh: Mesh) -> BiAdj:
+    """Edge arrays over the data axis, normalization vectors replicated.
+
+    ``iu_perm`` gathers from the edge shards (one all_gather of int32
+    edge ids per SpMM direction — cheap next to the embedding traffic).
+    """
+    edge = data_sharded(mesh)
+    rep = replicated(mesh)
+    return BiAdj(
+        ui_rows=jax.device_put(adj.ui_rows, edge),
+        ui_cols=jax.device_put(adj.ui_cols, edge),
+        iu_perm=jax.device_put(adj.iu_perm, edge),
+        s_user=jax.device_put(adj.s_user, rep),
+        s_item=jax.device_put(adj.s_item, rep),
+    )
+
+
+def shard_device_data(data: DeviceData, mesh: Mesh) -> DeviceData:
+    """Place a :class:`DeviceData` according to the layout above."""
+    rep = replicated(mesh)
+    edge = data_sharded(mesh)
+    return DeviceData(
+        adj=_shard_adj(data.adj, mesh),
+        train_rows=jax.device_put(data.train_rows, edge),
+        train_cols=jax.device_put(data.train_cols, edge),
+        user_degrees=jax.device_put(data.user_degrees, rep),
+        csr_offsets=jax.device_put(data.csr_offsets, rep),
+        train_dense=jax.device_put(data.train_dense, catalog_sharded(mesh)),
+        raw_feats=[jax.device_put(f, rep) for f in data.raw_feats],
+        test_users=jax.device_put(data.test_users, rep),
+        test_items=jax.device_put(data.test_items, rep),
+        test_counts=jax.device_put(data.test_counts, rep),
+    )
+
+
+def check_batch_divisibility(batch: int, mesh: Mesh) -> None:
+    n_data = mesh.shape[DATA_AXIS]
+    if batch % n_data:
+        raise ValueError(
+            f"train.batch={batch} must be divisible by the data-axis size "
+            f"{n_data} for even sharding"
+        )

@@ -17,13 +17,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffmm_tpu.config import Config
-from diffmm_tpu.data.loader import DeviceData, HostData, to_device
+from diffmm_tpu.data.loader import EDGE_ALIGN, DeviceData, HostData, to_device
 from diffmm_tpu.data.sampling import negative_sampling
 from diffmm_tpu.diffusion.schedule import make_schedule
 from diffmm_tpu.eval.ranking import dcg_table, eval_batch
 from diffmm_tpu.models.denoise import init_denoise_params
 from diffmm_tpu.models.gcn import init_gcn_params
 from diffmm_tpu.ops.graph import BiAdj, build_bi_adj_device
+from diffmm_tpu.parallel.sharding import (
+    check_batch_divisibility,
+    replicate,
+    shard_batch,
+    shard_device_data,
+)
 from diffmm_tpu.train.optim import cosine_lr, make_adam
 from diffmm_tpu.train.steps import make_train_steps
 from diffmm_tpu.utils.logging import Log
@@ -50,10 +56,16 @@ class Coach:
         host: HostData,
         device: DeviceData | None = None,
         log: Log | None = None,
+        mesh=None,
     ):
         self.config = config
         self.host = host
         self.data = device if device is not None else to_device(host)
+        self.mesh = mesh
+        if mesh is not None:
+            check_batch_divisibility(config.train.batch, mesh)
+            check_batch_divisibility(config.train.test_batch, mesh)
+            self.data = shard_device_data(self.data, mesh)
         self.log = log or Log("coach", config.data.name)
         self.n_modal = len(host.modalities)
 
@@ -63,8 +75,9 @@ class Coach:
             config.hyper.noise_max,
             config.hyper.steps,
         )
+        self.edge_buf_len = host.nnz + (-host.nnz % EDGE_ALIGN)
         self.steps = make_train_steps(
-            config, self.schedule, self.n_modal, host.k_max, host.nnz
+            config, self.schedule, self.n_modal, host.k_max, self.edge_buf_len
         )
         self.cum_dcg = dcg_table(config.base.topk)
         self.key = jax.random.PRNGKey(config.base.seed)
@@ -85,6 +98,18 @@ class Coach:
         ]
         self.gcn_opt_state = tx.init(self.gcn_params)
         self.dn_opt_states = [tx.init(p) for p in self.dn_params]
+        if mesh is not None:
+            # Params and optimizer state are replicated; XLA inserts the
+            # gradient psum over the data axis on its own.
+            (
+                self.gcn_params,
+                self.dn_params,
+                self.gcn_opt_state,
+                self.dn_opt_states,
+            ) = replicate(
+                (self.gcn_params, self.dn_params, self.gcn_opt_state, self.dn_opt_states),
+                mesh,
+            )
 
         self.modal_adjs: list[BiAdj] | None = None
         self.epoch_times: list[float] = []
@@ -100,6 +125,10 @@ class Coach:
     def _next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _put_batch(self, x: jax.Array) -> jax.Array:
+        """Split one block's leading dim over the mesh's data axis."""
+        return shard_batch(x, self.mesh) if self.mesh is not None else x
 
     # ----------------------------------------------------------------- epoch
     def train_epoch(self, epoch: int) -> dict[str, float]:
@@ -132,8 +161,8 @@ class Coach:
                 self.gcn_params,
                 data.raw_feats,
                 data.train_dense,
-                users_ep[sl],
-                valid_ep[sl].astype(jnp.float32),
+                self._put_batch(users_ep[sl]),
+                self._put_batch(valid_ep[sl].astype(jnp.float32)),
                 self._next_key(),
                 lr,
             )
@@ -148,18 +177,23 @@ class Coach:
         idx, valid = _pad_blocks(self.host.user_num, batch)
         users_seq = jnp.asarray(idx)
         valid_seq = jnp.asarray(valid)
+        # Buffers start at the item_num sentinel so pad lanes (beyond the real
+        # nnz edges) drop out of the rebuilt adjacency's segment_sums.
         edge_buffers = [
-            jnp.zeros(self.host.nnz, dtype=jnp.int32) for _ in range(self.n_modal)
+            jnp.full(self.edge_buf_len, self.host.item_num, dtype=jnp.int32)
+            for _ in range(self.n_modal)
         ]
+        if self.mesh is not None:
+            edge_buffers = [shard_batch(b, self.mesh) for b in edge_buffers]
         for b in range(len(idx) // batch):
             sl = slice(b * batch, (b + 1) * batch)
             edge_buffers = self.steps.rebuild_step(
                 self.dn_params,
                 data.train_dense,
-                users_seq[sl],
+                self._put_batch(users_seq[sl]),
                 data.user_degrees,
                 data.csr_offsets,
-                valid_seq[sl],
+                self._put_batch(valid_seq[sl]),
                 edge_buffers,
                 self._next_key(),
             )
@@ -192,9 +226,9 @@ class Coach:
                 data.adj,
                 tuple(self.modal_adjs),
                 data.raw_feats,
-                users_ep[sl],
-                pos_ep[sl],
-                neg_ep[sl],
+                self._put_batch(users_ep[sl]),
+                self._put_batch(pos_ep[sl]),
+                self._put_batch(neg_ep[sl]),
                 self._next_key(),
                 lr,
             )
@@ -240,11 +274,11 @@ class Coach:
             out = eval_batch(
                 u_final,
                 i_final,
-                users[sl],
-                valid_dev[sl],
+                self._put_batch(users[sl]),
+                self._put_batch(valid_dev[sl]),
                 data.train_dense,
-                t_items[sl],
-                t_counts[sl],
+                self._put_batch(t_items[sl]),
+                self._put_batch(t_counts[sl]),
                 self.cum_dcg,
                 cfg.base.topk,
             )

@@ -48,7 +48,7 @@ def make_train_steps(
     schedule: DiffusionSchedule,
     n_modal: int,
     k_max: int,
-    nnz: int,
+    edge_buf_len: int,
 ) -> TrainSteps:
     hyper = config.hyper
     train_cfg = config.train
@@ -125,7 +125,8 @@ def make_train_steps(
             )
             new_buffers.append(
                 topk_scatter_edges(
-                    denoised, degrees, offsets, valid, k_max, nnz, edge_buffers[m]
+                    denoised, degrees, offsets, valid, k_max, edge_buf_len,
+                    edge_buffers[m],
                 )
             )
         return new_buffers

@@ -54,13 +54,21 @@ def test_rebuilt_adjacency_edge_counts(trained_coach):
     coach, _ = trained_coach
     assert coach.modal_adjs is not None
     for adj in coach.modal_adjs:
-        assert adj.nnz == coach.host.nnz
+        # edge buffers are padded to the shard alignment; the tail carries
+        # (user_num, item_num) sentinels that drop from all segment_sums
+        assert adj.nnz == coach.edge_buf_len
+        rows = np.asarray(adj.ui_rows)
+        cols = np.asarray(adj.ui_cols)
+        real = rows < coach.host.user_num
+        assert real.sum() == coach.host.nnz
+        np.testing.assert_array_equal(
+            cols[~real], np.full((~real).sum(), coach.host.item_num)
+        )
         # user degrees in rebuilt graph == train degrees
-        deg_u = np.bincount(np.asarray(adj.ui_rows), minlength=coach.host.user_num)
+        deg_u = np.bincount(rows[real], minlength=coach.host.user_num)
         np.testing.assert_array_equal(deg_u, coach.host.user_degrees)
         # all chosen items are in range
-        cols = np.asarray(adj.ui_cols)
-        assert (cols >= 0).all() and (cols < coach.host.item_num).all()
+        assert (cols[real] >= 0).all() and (cols[real] < coach.host.item_num).all()
 
 
 def test_cl_method_pairwise_runs():

@@ -19,6 +19,9 @@ def test_negatives_avoid_train_items(tiny_data):
     )
     rows = tiny_data.train_rows
     dense = tiny_data.train_dense
+    # device edge arrays are padded to the shard alignment; only the real
+    # nnz lanes are consumed downstream
+    negs = negs[: tiny_data.nnz]
     assert negs.shape == rows.shape
     assert (negs >= 0).all() and (negs < tiny_data.item_num).all()
     collisions = dense[rows, negs]
