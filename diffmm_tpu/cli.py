@@ -22,6 +22,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("--data-root", default=None, help="dataset root directory")
     parser.add_argument("--epochs", type=int, default=None, help="override epoch count")
+    parser.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="save/resume full training state here (orbax)",
+    )
+    parser.add_argument(
+        "--mesh",
+        default=None,
+        metavar="DATAxMODEL",
+        help="shard over a device mesh, e.g. 4x2 (data=4, model=2)",
+    )
+    parser.add_argument(
+        "--trace-dir",
+        default=None,
+        help="write a jax.profiler trace here (view with TensorBoard/xprof)",
+    )
     args = parser.parse_args(argv)
 
     try:
@@ -43,8 +59,21 @@ def main(argv: list[str] | None = None) -> int:
     log.info("Load Data")
     host = load_host_data(config, data_root=args.data_root)
 
-    coach = Coach(config, host, log=log)
-    best = coach.run(epochs=args.epochs)
+    mesh = None
+    if args.mesh:
+        from diffmm_tpu.parallel import make_mesh
+
+        data_sz, model_sz = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_mesh(data_sz * model_sz, model_parallel=model_sz)
+        log.info(f"Mesh: data={data_sz}, model={model_sz}")
+
+    coach = Coach(
+        config, host, log=log, mesh=mesh, checkpoint_dir=args.checkpoint_dir
+    )
+    from diffmm_tpu.utils.profiling import trace
+
+    with trace(args.trace_dir):
+        best = coach.run(epochs=args.epochs)
     log.info(
         f"Best epoch: {best['best_epoch']}, Recall: {best['Recall']:.5f}, "
         f"NDCG: {best['NDCG']:.5f}, Precision: {best['Precision']:.5f}"

@@ -83,6 +83,9 @@ class HyperConfig:
     sampling_step: int = 0
 
     knn_topk: int = 10
+    # Ablation (reference C15, commented out there): build the modality
+    # graphs by prototype-cosine KNN instead of reverse diffusion.
+    use_knn_adj: bool = False
 
 
 @dataclass

@@ -33,6 +33,7 @@ from diffmm_tpu.parallel.sharding import (
 from diffmm_tpu.train.optim import cosine_lr, make_adam
 from diffmm_tpu.train.steps import make_train_steps
 from diffmm_tpu.utils.logging import Log
+from diffmm_tpu.utils.profiling import PhaseTimer
 
 _build_adj_jit = partial(
     jax.jit, static_argnames=("user_num", "item_num", "rows_sorted")
@@ -57,6 +58,7 @@ class Coach:
         device: DeviceData | None = None,
         log: Log | None = None,
         mesh=None,
+        checkpoint_dir: str | None = None,
     ):
         self.config = config
         self.host = host
@@ -112,7 +114,14 @@ class Coach:
             )
 
         self.modal_adjs: list[BiAdj] | None = None
+        self.edge_buffers: list[jax.Array] | None = None
         self.epoch_times: list[float] = []
+        self.timer = PhaseTimer()
+        self.ckpt = None
+        if checkpoint_dir is not None:
+            from diffmm_tpu.utils.checkpoint import CheckpointManager
+
+            self.ckpt = CheckpointManager(checkpoint_dir)
 
         self.log.info(f"USER: {host.user_num}, ITEM: {host.item_num}")
         self.log.info(f"NUM OF INTERACTIONS: {host.nnz}")
@@ -142,9 +151,10 @@ class Coach:
         lr = jnp.float32(lr)
 
         # Phase 0: negative sampling (reference Main.py:137)
-        negs = negative_sampling(
-            self._next_key(), data.train_rows, data.train_dense, self.host.item_num
-        )
+        with self.timer.phase("neg_sampling"):
+            negs = negative_sampling(
+                self._next_key(), data.train_rows, data.train_dense, self.host.item_num
+            )
 
         # Phase 1: diffusion training (reference Main.py:144-192)
         user_perm = self.np_rng.permutation(self.host.user_num).astype(np.int32)
@@ -153,27 +163,46 @@ class Coach:
         valid_ep = jnp.asarray(valid)
         n_diff_blocks = len(idx) // batch
         modal_loss_acc = np.zeros(self.n_modal)
-        for b in range(n_diff_blocks):
-            sl = slice(b * batch, (b + 1) * batch)
-            self.dn_params, self.dn_opt_states, losses = self.steps.diffusion_step(
-                self.dn_params,
-                self.dn_opt_states,
-                self.gcn_params,
-                data.raw_feats,
-                data.train_dense,
-                self._put_batch(users_ep[sl]),
-                self._put_batch(valid_ep[sl].astype(jnp.float32)),
-                self._next_key(),
-                lr,
-            )
-            losses = np.asarray(losses)
-            # reference Main.py:174-185 accounting quirk: accumulate, then
-            # divide the accumulator by this batch's total loss.
-            total = max(losses.sum(), 1e-12)
-            modal_loss_acc += losses
-            modal_loss_acc /= total
+        with self.timer.phase("diffusion"):
+            for b in range(n_diff_blocks):
+                sl = slice(b * batch, (b + 1) * batch)
+                self.dn_params, self.dn_opt_states, losses = self.steps.diffusion_step(
+                    self.dn_params,
+                    self.dn_opt_states,
+                    self.gcn_params,
+                    data.raw_feats,
+                    data.train_dense,
+                    self._put_batch(users_ep[sl]),
+                    self._put_batch(valid_ep[sl].astype(jnp.float32)),
+                    self._next_key(),
+                    lr,
+                )
+                losses = np.asarray(losses)
+                # reference Main.py:174-185 accounting quirk: accumulate, then
+                # divide the accumulator by this batch's total loss.
+                total = max(losses.sum(), 1e-12)
+                modal_loss_acc += losses
+                modal_loss_acc /= total
 
-        # Phase 2: modality graph rebuild (reference Main.py:195-253)
+        # Phase 2: modality graph rebuild (reference Main.py:195-253), or the
+        # KNN ablation (reference Main.py:118-134,255-288 — static per run,
+        # so computed once and cached)
+        if cfg.hyper.use_knn_adj:
+            if self.modal_adjs is None:
+                from diffmm_tpu.ops.knn import build_knn_adj
+
+                self.modal_adjs = [
+                    build_knn_adj(
+                        data.train_rows,
+                        data.train_cols,
+                        feats,
+                        self.host.user_num,
+                        self.host.item_num,
+                        cfg.hyper.knn_topk,
+                    )
+                    for feats in data.raw_feats
+                ]
+            return self._joint_phase(epoch, lr, negs, modal_loss_acc)
         idx, valid = _pad_blocks(self.host.user_num, batch)
         users_seq = jnp.asarray(idx)
         valid_seq = jnp.asarray(valid)
@@ -185,28 +214,36 @@ class Coach:
         ]
         if self.mesh is not None:
             edge_buffers = [shard_batch(b, self.mesh) for b in edge_buffers]
-        for b in range(len(idx) // batch):
-            sl = slice(b * batch, (b + 1) * batch)
-            edge_buffers = self.steps.rebuild_step(
-                self.dn_params,
-                data.train_dense,
-                self._put_batch(users_seq[sl]),
-                data.user_degrees,
-                data.csr_offsets,
-                self._put_batch(valid_seq[sl]),
-                edge_buffers,
-                self._next_key(),
-            )
-        self.modal_adjs = [
-            _build_adj_jit(
-                data.train_rows,
-                buf,
-                user_num=self.host.user_num,
-                item_num=self.host.item_num,
-            )
-            for buf in edge_buffers
-        ]
+        with self.timer.phase("rebuild"):
+            for b in range(len(idx) // batch):
+                sl = slice(b * batch, (b + 1) * batch)
+                edge_buffers = self.steps.rebuild_step(
+                    self.dn_params,
+                    data.train_dense,
+                    self._put_batch(users_seq[sl]),
+                    data.user_degrees,
+                    data.csr_offsets,
+                    self._put_batch(valid_seq[sl]),
+                    edge_buffers,
+                    self._next_key(),
+                )
+            self.edge_buffers = edge_buffers
+            self.modal_adjs = [
+                _build_adj_jit(
+                    data.train_rows,
+                    buf,
+                    user_num=self.host.user_num,
+                    item_num=self.host.item_num,
+                )
+                for buf in edge_buffers
+            ]
 
+        return self._joint_phase(epoch, lr, negs, modal_loss_acc)
+
+    def _joint_phase(self, epoch, lr, negs, modal_loss_acc):
+        cfg = self.config
+        data = self.data
+        batch = cfg.train.batch
         # Phase 3: joint GCN training (reference Main.py:291-377)
         perm = self.np_rng.permutation(self.host.nnz).astype(np.int32)
         idx, _ = _pad_blocks(self.host.nnz, batch)
@@ -218,21 +255,22 @@ class Coach:
         neg_ep = negs.take(perm_dev)
         n_joint_blocks = len(perm_pad) // batch
         joint_acc = np.zeros(4)
-        for b in range(n_joint_blocks):
-            sl = slice(b * batch, (b + 1) * batch)
-            self.gcn_params, self.gcn_opt_state, metrics = self.steps.joint_step(
-                self.gcn_params,
-                self.gcn_opt_state,
-                data.adj,
-                tuple(self.modal_adjs),
-                data.raw_feats,
-                self._put_batch(users_ep[sl]),
-                self._put_batch(pos_ep[sl]),
-                self._put_batch(neg_ep[sl]),
-                self._next_key(),
-                lr,
-            )
-            joint_acc += np.asarray(metrics)
+        with self.timer.phase("joint"):
+            for b in range(n_joint_blocks):
+                sl = slice(b * batch, (b + 1) * batch)
+                self.gcn_params, self.gcn_opt_state, metrics = self.steps.joint_step(
+                    self.gcn_params,
+                    self.gcn_opt_state,
+                    data.adj,
+                    tuple(self.modal_adjs),
+                    data.raw_feats,
+                    self._put_batch(users_ep[sl]),
+                    self._put_batch(pos_ep[sl]),
+                    self._put_batch(neg_ep[sl]),
+                    self._next_key(),
+                    lr,
+                )
+                joint_acc += np.asarray(metrics)
 
         # Metric accounting mirrors reference Main.py:379-388 (floor division)
         train_steps_n = max(1, self.host.nnz // batch)
@@ -257,37 +295,101 @@ class Coach:
         )
         cfg = self.config
         data = self.data
-        u_final, i_final = self.steps.gcn_forward(
-            self.gcn_params, data.adj, tuple(self.modal_adjs), data.raw_feats
-        )
-        n_test = len(self.host.test_users)
-        batch = cfg.train.test_batch
-        idx, valid = _pad_blocks(n_test, batch)
-        idx_w = idx % max(n_test, 1)
-        users = data.test_users.take(jnp.asarray(idx_w))
-        t_items = data.test_items.take(jnp.asarray(idx_w), axis=0)
-        t_counts = data.test_counts.take(jnp.asarray(idx_w))
-        valid_dev = jnp.asarray(valid)
-        sums = np.zeros(3)
-        for b in range(len(idx) // batch):
-            sl = slice(b * batch, (b + 1) * batch)
-            out = eval_batch(
-                u_final,
-                i_final,
-                self._put_batch(users[sl]),
-                self._put_batch(valid_dev[sl]),
-                data.train_dense,
-                self._put_batch(t_items[sl]),
-                self._put_batch(t_counts[sl]),
-                self.cum_dcg,
-                cfg.base.topk,
+        with self.timer.phase("eval"):
+            u_final, i_final = self.steps.gcn_forward(
+                self.gcn_params, data.adj, tuple(self.modal_adjs), data.raw_feats
             )
-            sums += np.asarray(out)
+            n_test = len(self.host.test_users)
+            batch = cfg.train.test_batch
+            idx, valid = _pad_blocks(n_test, batch)
+            idx_w = idx % max(n_test, 1)
+            users = data.test_users.take(jnp.asarray(idx_w))
+            t_items = data.test_items.take(jnp.asarray(idx_w), axis=0)
+            t_counts = data.test_counts.take(jnp.asarray(idx_w))
+            valid_dev = jnp.asarray(valid)
+            sums = np.zeros(3)
+            for b in range(len(idx) // batch):
+                sl = slice(b * batch, (b + 1) * batch)
+                out = eval_batch(
+                    u_final,
+                    i_final,
+                    self._put_batch(users[sl]),
+                    self._put_batch(valid_dev[sl]),
+                    data.train_dense,
+                    self._put_batch(t_items[sl]),
+                    self._put_batch(t_counts[sl]),
+                    self.cum_dcg,
+                    cfg.base.topk,
+                )
+                sums += np.asarray(out)
         return {
             "Recall": sums[0] / n_test,
             "NDCG": sums[1] / n_test,
             "Precision": sums[2] / n_test,
         }
+
+    # ----------------------------------------------------------- checkpoints
+    def _ckpt_arrays(self):
+        return {
+            "gcn_params": self.gcn_params,
+            "gcn_opt_state": self.gcn_opt_state,
+            "dn_params": self.dn_params,
+            "dn_opt_states": self.dn_opt_states,
+            "edge_buffers": self.edge_buffers,
+        }
+
+    def save_checkpoint(self, epoch: int, best: dict[str, float]) -> None:
+        assert self.ckpt is not None
+        from diffmm_tpu.utils.checkpoint import key_to_list, rng_state_to_json
+
+        self.ckpt.save(
+            epoch,
+            self._ckpt_arrays(),
+            aux={
+                "epoch": epoch,
+                "best": best,
+                "key": key_to_list(self.key),
+                "np_rng": rng_state_to_json(self.np_rng),
+            },
+        )
+
+    def restore_checkpoint(self) -> dict[str, float] | None:
+        """Restore the latest checkpoint if one exists; returns the saved
+        best-metric dict (with ``epoch`` advanced past the saved one)."""
+        if self.ckpt is None or self.ckpt.latest_epoch() is None:
+            return None
+        from diffmm_tpu.utils.checkpoint import key_from_list, rng_state_from_json
+
+        template = self._ckpt_arrays()
+        if template["edge_buffers"] is None:
+            # fresh Coach: build a same-structure template for the saved
+            # rebuilt-graph buffers
+            template["edge_buffers"] = [
+                jnp.zeros(self.edge_buf_len, dtype=jnp.int32)
+                for _ in range(self.n_modal)
+            ]
+        _, arrays, aux = self.ckpt.restore(template=template)
+        self.gcn_params = arrays["gcn_params"]
+        self.gcn_opt_state = arrays["gcn_opt_state"]
+        self.dn_params = arrays["dn_params"]
+        self.dn_opt_states = arrays["dn_opt_states"]
+        self.edge_buffers = arrays["edge_buffers"]
+        if self.edge_buffers is not None:
+            self.modal_adjs = [
+                _build_adj_jit(
+                    self.data.train_rows,
+                    buf,
+                    user_num=self.host.user_num,
+                    item_num=self.host.item_num,
+                )
+                for buf in self.edge_buffers
+            ]
+        self.key = key_from_list(aux["key"])
+        self.np_rng = rng_state_from_json(aux["np_rng"])
+        best = dict(aux["best"])
+        best["epoch"] = aux["epoch"]
+        self.log.info(f"Resumed from checkpoint at epoch {aux['epoch']} ♻️")
+        return best
 
     # ------------------------------------------------------------------- run
     def make_print(self, name: str, epoch: int, results: dict[str, float]) -> str:
@@ -303,16 +405,30 @@ class Coach:
         recall_max = ndcg_max = precision_max = 0.0
         his_max = [0.0, 0.0, 0.0]
         best_epoch = 0
+        start_epoch = 0
+        resumed = self.restore_checkpoint()
+        if resumed is not None:
+            start_epoch = resumed["epoch"] + 1
+            recall_max = resumed.get("Recall", 0.0)
+            ndcg_max = resumed.get("NDCG", 0.0)
+            precision_max = resumed.get("Precision", 0.0)
+            his_max = resumed.get("his_max", his_max)
+            best_epoch = resumed.get("best_epoch", 0)
         self.log.info("Model Initialized ✅")
         self.log.info("Start training 🚀")
         try:
-            for epoch in range(n_epochs):
+            for epoch in range(start_epoch, n_epochs):
                 tst_flag = epoch % cfg.train.tstEpoch == 0
                 t0 = time.perf_counter()
                 result = self.train_epoch(epoch)
                 jax.block_until_ready(self.gcn_params["u_embs"])
                 self.epoch_times.append(time.perf_counter() - t0)
                 self.log.info(self.make_print("⏩ Train", epoch, result))
+                self.log.info(
+                    f"⏱️ epoch {self.epoch_times[-1]:.2f}s "
+                    f"({self.timer.summary()})"
+                )
+                self.timer.reset()
                 if tst_flag:
                     result = self.test_epoch()
                     his_max = [max(a, b) for a, b in zip(
@@ -330,6 +446,17 @@ class Coach:
                     f"NDCG: {ndcg_max:.5f}({his_max[1]:.5f}), "
                     f"Precision: {precision_max:.5f}({his_max[2]:.5f})"
                 )
+                if self.ckpt is not None:
+                    self.save_checkpoint(
+                        epoch,
+                        {
+                            "Recall": recall_max,
+                            "NDCG": ndcg_max,
+                            "Precision": precision_max,
+                            "his_max": his_max,
+                            "best_epoch": best_epoch,
+                        },
+                    )
         except KeyboardInterrupt:
             self.log.info("🈲 Training interrupted by user!")
         return {
