@@ -59,6 +59,13 @@ def shard_batch(x: jax.Array, mesh: Mesh) -> jax.Array:
     return jax.device_put(x, data_sharded(mesh))
 
 
+def shard_blocks(x: jax.Array, mesh: Mesh) -> jax.Array:
+    """(n_blocks, batch, ...) epoch input: batch dim over the data axis."""
+    spec = [None] * x.ndim
+    spec[1] = DATA_AXIS
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
 def _shard_adj(adj: BiAdj, mesh: Mesh) -> BiAdj:
     """Edge arrays over the data axis, normalization vectors replicated.
 

@@ -28,6 +28,7 @@ from diffmm_tpu.parallel.sharding import (
     check_batch_divisibility,
     replicate,
     shard_batch,
+    shard_blocks,
     shard_device_data,
 )
 from diffmm_tpu.train.optim import cosine_lr, make_adam
@@ -139,6 +140,10 @@ class Coach:
         """Split one block's leading dim over the mesh's data axis."""
         return shard_batch(x, self.mesh) if self.mesh is not None else x
 
+    def _put_blocks(self, x: jax.Array) -> jax.Array:
+        """(n_blocks, batch) epoch input: batch dim over the data axis."""
+        return shard_blocks(x, self.mesh) if self.mesh is not None else x
+
     # ----------------------------------------------------------------- epoch
     def train_epoch(self, epoch: int) -> dict[str, float]:
         cfg = self.config
@@ -156,33 +161,32 @@ class Coach:
                 self._next_key(), data.train_rows, data.train_dense, self.host.item_num
             )
 
-        # Phase 1: diffusion training (reference Main.py:144-192)
+        # Phase 1: diffusion training (reference Main.py:144-192) — all blocks
+        # in one compiled scan (the reference dispatches per DataLoader batch)
         user_perm = self.np_rng.permutation(self.host.user_num).astype(np.int32)
         idx, valid = _pad_blocks(self.host.user_num, batch)
-        users_ep = jnp.asarray(user_perm[idx % self.host.user_num])
-        valid_ep = jnp.asarray(valid)
         n_diff_blocks = len(idx) // batch
-        modal_loss_acc = np.zeros(self.n_modal)
+        users_blocks = self._put_blocks(
+            jnp.asarray(user_perm[idx % self.host.user_num]).reshape(
+                n_diff_blocks, batch
+            )
+        )
+        weight_blocks = self._put_blocks(
+            jnp.asarray(valid.astype(np.float32)).reshape(n_diff_blocks, batch)
+        )
         with self.timer.phase("diffusion"):
-            for b in range(n_diff_blocks):
-                sl = slice(b * batch, (b + 1) * batch)
-                self.dn_params, self.dn_opt_states, losses = self.steps.diffusion_step(
-                    self.dn_params,
-                    self.dn_opt_states,
-                    self.gcn_params,
-                    data.raw_feats,
-                    data.train_dense,
-                    self._put_batch(users_ep[sl]),
-                    self._put_batch(valid_ep[sl].astype(jnp.float32)),
-                    self._next_key(),
-                    lr,
-                )
-                losses = np.asarray(losses)
-                # reference Main.py:174-185 accounting quirk: accumulate, then
-                # divide the accumulator by this batch's total loss.
-                total = max(losses.sum(), 1e-12)
-                modal_loss_acc += losses
-                modal_loss_acc /= total
+            self.dn_params, self.dn_opt_states, acc = self.steps.diffusion_epoch(
+                self.dn_params,
+                self.dn_opt_states,
+                self.gcn_params,
+                data.raw_feats,
+                data.train_dense,
+                users_blocks,
+                weight_blocks,
+                jax.random.split(self._next_key(), n_diff_blocks),
+                lr,
+            )
+            modal_loss_acc = np.asarray(acc)
 
         # Phase 2: modality graph rebuild (reference Main.py:195-253), or the
         # KNN ablation (reference Main.py:118-134,255-288 — static per run,
@@ -214,19 +218,18 @@ class Coach:
         ]
         if self.mesh is not None:
             edge_buffers = [shard_batch(b, self.mesh) for b in edge_buffers]
+        n_reb_blocks = len(idx) // batch
         with self.timer.phase("rebuild"):
-            for b in range(len(idx) // batch):
-                sl = slice(b * batch, (b + 1) * batch)
-                edge_buffers = self.steps.rebuild_step(
-                    self.dn_params,
-                    data.train_dense,
-                    self._put_batch(users_seq[sl]),
-                    data.user_degrees,
-                    data.csr_offsets,
-                    self._put_batch(valid_seq[sl]),
-                    edge_buffers,
-                    self._next_key(),
-                )
+            edge_buffers = self.steps.rebuild_epoch(
+                self.dn_params,
+                data.train_dense,
+                self._put_blocks(users_seq.reshape(n_reb_blocks, batch)),
+                data.user_degrees,
+                data.csr_offsets,
+                self._put_blocks(valid_seq.reshape(n_reb_blocks, batch)),
+                edge_buffers,
+                jax.random.split(self._next_key(), n_reb_blocks),
+            )
             self.edge_buffers = edge_buffers
             self.modal_adjs = [
                 _build_adj_jit(
@@ -254,23 +257,20 @@ class Coach:
         pos_ep = data.train_cols.take(perm_dev)
         neg_ep = negs.take(perm_dev)
         n_joint_blocks = len(perm_pad) // batch
-        joint_acc = np.zeros(4)
         with self.timer.phase("joint"):
-            for b in range(n_joint_blocks):
-                sl = slice(b * batch, (b + 1) * batch)
-                self.gcn_params, self.gcn_opt_state, metrics = self.steps.joint_step(
-                    self.gcn_params,
-                    self.gcn_opt_state,
-                    data.adj,
-                    tuple(self.modal_adjs),
-                    data.raw_feats,
-                    self._put_batch(users_ep[sl]),
-                    self._put_batch(pos_ep[sl]),
-                    self._put_batch(neg_ep[sl]),
-                    self._next_key(),
-                    lr,
-                )
-                joint_acc += np.asarray(metrics)
+            self.gcn_params, self.gcn_opt_state, acc = self.steps.joint_epoch(
+                self.gcn_params,
+                self.gcn_opt_state,
+                data.adj,
+                tuple(self.modal_adjs),
+                data.raw_feats,
+                self._put_blocks(users_ep.reshape(n_joint_blocks, batch)),
+                self._put_blocks(pos_ep.reshape(n_joint_blocks, batch)),
+                self._put_blocks(neg_ep.reshape(n_joint_blocks, batch)),
+                jax.random.split(self._next_key(), n_joint_blocks),
+                lr,
+            )
+            joint_acc = np.asarray(acc)
 
         # Metric accounting mirrors reference Main.py:379-388 (floor division)
         train_steps_n = max(1, self.host.nnz // batch)

@@ -37,10 +37,15 @@ from diffmm_tpu.train.optim import adam_update, make_adam
 
 
 class TrainSteps(NamedTuple):
+    # per-block steps (one dispatch per block)
     diffusion_step: Any
     rebuild_step: Any
     joint_step: Any
     gcn_forward: Any
+    # whole-phase steps (lax.scan over blocks — one dispatch per phase)
+    diffusion_epoch: Any
+    rebuild_epoch: Any
+    joint_epoch: Any
 
 
 def make_train_steps(
@@ -77,9 +82,8 @@ def make_train_steps(
             losses.append(jnp.sum(per_row * weights) / w_sum)
         return losses
 
-    @jax.jit
-    def diffusion_step(dn_params_list, dn_opt_states, gcn_params, raw_feats,
-                       train_dense, users, weights, key, lr):
+    def _diffusion_block(dn_params_list, dn_opt_states, gcn_params, raw_feats,
+                         train_dense, users, weights, key, lr):
         """One optimizer step for every denoiser on one user-row block.
 
         ``users`` indexes rows of the int8 dense train matrix (gathered and
@@ -105,10 +109,41 @@ def make_train_steps(
             new_states.append(s)
         return new_params, new_states, jnp.stack(losses)
 
-    # ---------------------------------------------------------------- phase 2
+    diffusion_step = jax.jit(_diffusion_block)
+
     @jax.jit
-    def rebuild_step(dn_params_list, train_dense, users, degrees_all,
-                     offsets_all, valid, edge_buffers, key):
+    def diffusion_epoch(dn_params_list, dn_opt_states, gcn_params, raw_feats,
+                        train_dense, users_blocks, weight_blocks, keys, lr):
+        """All diffusion blocks of one epoch as a single compiled scan —
+        one dispatch instead of one per block. ``users_blocks`` /
+        ``weight_blocks`` / ``keys`` carry a leading (n_blocks,) dim.
+
+        Also folds the reference's loss-accounting quirk
+        (`Main.py:174-185`): the per-modality accumulator is divided by each
+        block's detached total loss inside the loop.
+        """
+
+        def body(carry, xs):
+            dn, states, acc = carry
+            users, weights, key = xs
+            dn, states, losses = _diffusion_block(
+                dn, states, gcn_params, raw_feats, train_dense, users, weights,
+                key, lr,
+            )
+            acc = (acc + losses) / jnp.maximum(jnp.sum(losses), 1e-12)
+            return (dn, states, acc), None
+
+        acc0 = jnp.zeros((n_modal,), dtype=jnp.float32)
+        (dn, states, acc), _ = jax.lax.scan(
+            body,
+            (dn_params_list, dn_opt_states, acc0),
+            (users_blocks, weight_blocks, keys),
+        )
+        return dn, states, acc
+
+    # ---------------------------------------------------------------- phase 2
+    def _rebuild_block(dn_params_list, train_dense, users, degrees_all,
+                       offsets_all, valid, edge_buffers, key):
         """Reverse-diffuse a user block per modality, scatter top-k edges."""
         x0 = train_dense.take(users, axis=0).astype(jnp.float32)
         degrees = degrees_all.take(users)
@@ -130,6 +165,27 @@ def make_train_steps(
                 )
             )
         return new_buffers
+
+    rebuild_step = jax.jit(_rebuild_block)
+
+    @jax.jit
+    def rebuild_epoch(dn_params_list, train_dense, users_blocks, degrees_all,
+                      offsets_all, valid_blocks, edge_buffers, keys):
+        """All rebuild blocks of one epoch as a single compiled scan,
+        carrying the per-modality edge buffers."""
+
+        def body(buffers, xs):
+            users, valid, key = xs
+            buffers = _rebuild_block(
+                dn_params_list, train_dense, users, degrees_all, offsets_all,
+                valid, buffers, key,
+            )
+            return buffers, None
+
+        buffers, _ = jax.lax.scan(
+            body, edge_buffers, (users_blocks, valid_blocks, keys)
+        )
+        return buffers
 
     # ---------------------------------------------------------------- phase 3
     def _cross_layer_cl(params, adj: BiAdj, users, pos_items, key):
@@ -178,9 +234,8 @@ def make_train_steps(
                 ) * hyper.modal_cl_rate
         return loss
 
-    @jax.jit
-    def joint_step(gcn_params, opt_state, adj, modal_adjs, raw_feats,
-                   users, pos_items, neg_items, key, lr):
+    def _joint_block(gcn_params, opt_state, adj, modal_adjs, raw_feats,
+                     users, pos_items, neg_items, key, lr):
         def loss_fn(params):
             out = gcn_mm(
                 params, adj, list(modal_adjs), raw_feats,
@@ -204,6 +259,31 @@ def make_train_steps(
         metrics = jnp.stack([total, rec, reg, cl])
         return new_params, new_state, metrics
 
+    joint_step = jax.jit(_joint_block)
+
+    @jax.jit
+    def joint_epoch(gcn_params, opt_state, adj, modal_adjs, raw_feats,
+                    users_blocks, pos_blocks, neg_blocks, keys, lr):
+        """All joint-training blocks of one epoch as a single compiled scan;
+        returns the summed metric vector (Loss/BPR/reg/CL)."""
+
+        def body(carry, xs):
+            params, state, acc = carry
+            users, pos, neg, key = xs
+            params, state, metrics = _joint_block(
+                params, state, adj, modal_adjs, raw_feats, users, pos, neg,
+                key, lr,
+            )
+            return (params, state, acc + metrics), None
+
+        acc0 = jnp.zeros((4,), dtype=jnp.float32)
+        (params, state, acc), _ = jax.lax.scan(
+            body,
+            (gcn_params, opt_state, acc0),
+            (users_blocks, pos_blocks, neg_blocks, keys),
+        )
+        return params, state, acc
+
     # ------------------------------------------------------------------ eval
     @jax.jit
     def gcn_forward(gcn_params, adj, modal_adjs, raw_feats):
@@ -219,4 +299,7 @@ def make_train_steps(
         rebuild_step=rebuild_step,
         joint_step=joint_step,
         gcn_forward=gcn_forward,
+        diffusion_epoch=diffusion_epoch,
+        rebuild_epoch=rebuild_epoch,
+        joint_epoch=joint_epoch,
     )
