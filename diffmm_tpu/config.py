@@ -100,6 +100,10 @@ class TrainConfig:
     tstEpoch: int = 1
     gnn_layer: int = 1
     use_lr_scheduler: bool = True
+    # TPU-specific: graph propagation form — "auto" picks the dense MXU
+    # matmul path while the bf16 interaction blocks fit an HBM budget,
+    # otherwise segment-sum SpMM; "dense"/"sparse" force one.
+    graph_form: str = "auto"
 
 
 @dataclass

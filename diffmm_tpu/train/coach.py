@@ -23,7 +23,11 @@ from diffmm_tpu.diffusion.schedule import make_schedule
 from diffmm_tpu.eval.ranking import dcg_table, eval_batch
 from diffmm_tpu.models.denoise import init_denoise_params
 from diffmm_tpu.models.gcn import init_gcn_params
-from diffmm_tpu.ops.graph import BiAdj, build_bi_adj_device
+from diffmm_tpu.ops.graph import (
+    BiAdj,
+    build_bi_adj_device,
+    build_dense_bi_adj_device,
+)
 from diffmm_tpu.parallel.sharding import (
     check_batch_divisibility,
     replicate,
@@ -39,6 +43,14 @@ from diffmm_tpu.utils.profiling import PhaseTimer
 _build_adj_jit = partial(
     jax.jit, static_argnames=("user_num", "item_num", "rows_sorted")
 )(build_bi_adj_device)
+_build_dense_adj_jit = partial(
+    jax.jit, static_argnames=("user_num", "item_num", "rows_sorted")
+)(build_dense_bi_adj_device)
+
+# The dense MXU graph form is selected automatically while the bf16
+# interaction blocks for main + modality graphs fit this HBM budget
+# (ops/graph.py DenseBiAdj); beyond it the segment-sum SpMM path is used.
+DENSE_GRAPH_BUDGET_BYTES = 4 << 30
 
 
 def _pad_blocks(n: int, batch: int) -> tuple[np.ndarray, np.ndarray]:
@@ -124,8 +136,23 @@ class Coach:
 
             self.ckpt = CheckpointManager(checkpoint_dir)
 
+        # Graph form: dense MXU matmuls vs segment-sum SpMM (ops/graph.py)
+        form = config.train.graph_form
+        if form == "auto":
+            bytes_needed = (self.n_modal + 1) * host.user_num * host.item_num * 2
+            self.dense_graphs = bytes_needed <= DENSE_GRAPH_BUDGET_BYTES
+        else:
+            self.dense_graphs = form == "dense"
+        if self.dense_graphs:
+            self.data = self.data._replace(
+                adj=self._make_adj(self.data.train_rows, self.data.train_cols)
+            )
+
         self.log.info(f"USER: {host.user_num}, ITEM: {host.item_num}")
         self.log.info(f"NUM OF INTERACTIONS: {host.nnz}")
+        self.log.info(
+            f"Graph form: {'dense (MXU)' if self.dense_graphs else 'sparse (segment_sum)'}"
+        )
         if host.synthesized:
             self.log.info(
                 f"⚠️ synthesized missing feature blobs for: {host.synthesized}"
@@ -143,6 +170,22 @@ class Coach:
     def _put_blocks(self, x: jax.Array) -> jax.Array:
         """(n_blocks, batch) epoch input: batch dim over the data axis."""
         return shard_blocks(x, self.mesh) if self.mesh is not None else x
+
+    def _make_adj(self, rows: jax.Array, cols: jax.Array):
+        """Build a normalized adjacency in the run's chosen graph form."""
+        build = _build_dense_adj_jit if self.dense_graphs else _build_adj_jit
+        adj = build(
+            rows, cols, user_num=self.host.user_num, item_num=self.host.item_num
+        )
+        if self.mesh is not None and self.dense_graphs:
+            from diffmm_tpu.parallel.sharding import catalog_sharded, replicated
+
+            adj = adj._replace(
+                mat=jax.device_put(adj.mat, catalog_sharded(self.mesh)),
+                s_user=jax.device_put(adj.s_user, replicated(self.mesh)),
+                s_item=jax.device_put(adj.s_item, replicated(self.mesh)),
+            )
+        return adj
 
     # ----------------------------------------------------------------- epoch
     def train_epoch(self, epoch: int) -> dict[str, float]:
@@ -232,13 +275,7 @@ class Coach:
             )
             self.edge_buffers = edge_buffers
             self.modal_adjs = [
-                _build_adj_jit(
-                    data.train_rows,
-                    buf,
-                    user_num=self.host.user_num,
-                    item_num=self.host.item_num,
-                )
-                for buf in edge_buffers
+                self._make_adj(data.train_rows, buf) for buf in edge_buffers
             ]
 
         return self._joint_phase(epoch, lr, negs, modal_loss_acc)
@@ -376,12 +413,7 @@ class Coach:
         self.edge_buffers = arrays["edge_buffers"]
         if self.edge_buffers is not None:
             self.modal_adjs = [
-                _build_adj_jit(
-                    self.data.train_rows,
-                    buf,
-                    user_num=self.host.user_num,
-                    item_num=self.host.item_num,
-                )
+                self._make_adj(self.data.train_rows, buf)
                 for buf in self.edge_buffers
             ]
         self.key = key_from_list(aux["key"])

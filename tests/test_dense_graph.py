@@ -1,0 +1,72 @@
+"""Dense-MXU graph form vs the segment-sum SpMM reference path."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffmm_tpu.ops.graph import (
+    build_bi_adj_host,
+    build_dense_bi_adj_device,
+    spmm_bi,
+)
+from diffmm_tpu.train.coach import Coach
+
+
+def test_dense_spmm_matches_sparse(tiny_data):
+    rows = jnp.asarray(tiny_data.train_rows)
+    cols = jnp.asarray(tiny_data.train_cols)
+    U, I = tiny_data.user_num, tiny_data.item_num
+    sparse = build_bi_adj_host(tiny_data.train_rows, tiny_data.train_cols, U, I)
+    dense = build_dense_bi_adj_device(rows, cols, user_num=U, item_num=I)
+
+    np.testing.assert_allclose(
+        np.asarray(dense.s_user), np.asarray(sparse.s_user), rtol=1e-6
+    )
+    rng = np.random.default_rng(0)
+    xu = jnp.asarray(rng.standard_normal((U, 16)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((I, 16)).astype(np.float32))
+    yu_s, yi_s = spmm_bi(sparse, xu, xi)
+    yu_d, yi_d = spmm_bi(dense, xu, xi)
+    # dense path rounds the embeddings to bf16 on the MXU input
+    np.testing.assert_allclose(np.asarray(yu_d), np.asarray(yu_s), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(yi_d), np.asarray(yi_s), rtol=2e-2, atol=2e-2)
+
+
+def test_dense_builder_drops_sentinels():
+    rows = jnp.array([0, 0, 1, 3, 3], dtype=jnp.int32)  # 3 == user_num sentinel
+    cols = jnp.array([1, 2, 0, 4, 4], dtype=jnp.int32)  # 4 == item_num sentinel
+    adj = build_dense_bi_adj_device(rows, cols, user_num=3, item_num=4)
+    mat = np.asarray(adj.mat, dtype=np.float32)
+    want = np.zeros((3, 4), dtype=np.float32)
+    want[0, 1] = want[0, 2] = want[1, 0] = 1.0
+    np.testing.assert_array_equal(mat, want)
+    np.testing.assert_allclose(
+        np.asarray(adj.s_user), (np.array([2.0, 1.0, 0.0]) + 1) ** -0.5, rtol=1e-6
+    )
+
+
+def test_dense_epoch_close_to_sparse(tiny_config, tiny_data):
+    cfg_s = copy.deepcopy(tiny_config)
+    cfg_s.train.graph_form = "sparse"
+    cfg_d = copy.deepcopy(tiny_config)
+    cfg_d.train.graph_form = "dense"
+
+    a = Coach(cfg_s, tiny_data)
+    b = Coach(cfg_d, tiny_data)
+    ra = a.train_epoch(0)
+    rb = b.train_epoch(0)
+    for k in ra:
+        assert ra[k] == pytest.approx(rb[k], rel=0.05, abs=1e-3), k
+    ea, eb = a.test_epoch(), b.test_epoch()
+    for k in ea:
+        assert ea[k] == pytest.approx(eb[k], rel=0.2, abs=0.02), k
+
+
+def test_auto_picks_dense_for_tiny(tiny_config, tiny_data):
+    cfg = copy.deepcopy(tiny_config)
+    cfg.train.graph_form = "auto"
+    coach = Coach(cfg, tiny_data)
+    assert coach.dense_graphs

@@ -53,22 +53,27 @@ def test_eval_runs_and_is_sane(trained_coach):
 def test_rebuilt_adjacency_edge_counts(trained_coach):
     coach, _ = trained_coach
     assert coach.modal_adjs is not None
-    for adj in coach.modal_adjs:
-        # edge buffers are padded to the shard alignment; the tail carries
-        # (user_num, item_num) sentinels that drop from all segment_sums
-        assert adj.nnz == coach.edge_buf_len
-        rows = np.asarray(adj.ui_rows)
-        cols = np.asarray(adj.ui_cols)
-        real = rows < coach.host.user_num
-        assert real.sum() == coach.host.nnz
+    # edge buffers are padded to the shard alignment; the tail carries
+    # item_num sentinels that drop from the adjacency build
+    rows_all = np.asarray(coach.data.train_rows)
+    real = rows_all < coach.host.user_num
+    assert real.sum() == coach.host.nnz
+    for buf, adj in zip(coach.edge_buffers, coach.modal_adjs):
+        cols = np.asarray(buf)
+        assert len(cols) == coach.edge_buf_len
         np.testing.assert_array_equal(
             cols[~real], np.full((~real).sum(), coach.host.item_num)
         )
         # user degrees in rebuilt graph == train degrees
-        deg_u = np.bincount(rows[real], minlength=coach.host.user_num)
+        deg_u = np.bincount(rows_all[real], minlength=coach.host.user_num)
         np.testing.assert_array_equal(deg_u, coach.host.user_degrees)
         # all chosen items are in range
         assert (cols[real] >= 0).all() and (cols[real] < coach.host.item_num).all()
+        # normalization degrees consistent with the buffer
+        deg_i = np.bincount(cols[real], minlength=coach.host.item_num)
+        np.testing.assert_allclose(
+            np.asarray(adj.s_item), (deg_i + 1.0) ** -0.5, rtol=1e-5
+        )
 
 
 def test_cl_method_pairwise_runs():
