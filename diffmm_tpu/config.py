@@ -37,6 +37,10 @@ class BaseConfig:
     denoise_dim: str = "[1024]"
     d_emb_size: int = 10
     cl_method: int = 0
+    # TPU-specific: denoiser forward implementation for the no-grad reverse
+    # sampling path — "auto" uses the fused Pallas kernel on TPU for
+    # single-hidden-layer configs, XLA otherwise; "pallas"/"xla" force one.
+    denoiser_impl: str = "auto"
 
     def denoise_dims(self) -> list[int]:
         """Hidden widths of the denoiser MLP (reference `Main.py:97`)."""

@@ -136,8 +136,22 @@ class DeviceData(NamedTuple):
 
 def load_host_data(config: Config, data_root: str | None = None) -> HostData:
     """Load a dataset and fill ``config.data`` shape fields
-    (reference `DataHandler.py:107-131`)."""
+    (reference `DataHandler.py:107-131`).
+
+    ``name = "synthetic"`` (or ``synthetic:<users>x<items>``) generates a
+    random dataset with the standard invariants — lets every config run on
+    hosts without the (partially unshipped) reference data artifacts.
+    """
     name = config.data.name
+    if name.startswith("synthetic"):
+        from diffmm_tpu.data.synthetic import make_synthetic_host_data
+
+        if ":" in name:
+            u, i = name.split(":", 1)[1].lower().split("x")
+            return make_synthetic_host_data(
+                config, user_num=int(u), item_num=int(i), seed=config.base.seed
+            )
+        return make_synthetic_host_data(config, seed=config.base.seed)
     data_dir = resolve_data_dir(name, data_root)
 
     train = load_interactions(os.path.join(data_dir, "trnMat.pkl"))

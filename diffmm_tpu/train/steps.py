@@ -59,6 +59,23 @@ def make_train_steps(
     train_cfg = config.train
     tx = make_adam()
 
+    # Denoiser forward for the NO-GRAD reverse-sampling path (phase 2). The
+    # fused Pallas kernel has no VJP, so the diffusion-training path always
+    # uses the XLA forward (autodiff'd); reverse sampling may use Pallas.
+    from diffmm_tpu.models.denoise import denoise_forward
+
+    # Measured on v5e/tiktok: the fused kernel matches XLA's fusion of this
+    # MLP within noise (~0.78 vs ~0.76 s/epoch) — XLA already keeps the
+    # hidden activation fused here — so "auto" resolves to XLA and the
+    # kernel stays opt-in for larger catalogs / future shapes.
+    sample_apply = denoise_forward
+    if config.base.denoiser_impl == "pallas":
+        if len(config.base.denoise_dims()) != 1:
+            raise ValueError("denoiser_impl='pallas' needs a single hidden layer")
+        from diffmm_tpu.ops.pallas.denoise_mlp import denoise_forward_pallas
+
+        sample_apply = denoise_forward_pallas
+
     # ---------------------------------------------------------------- phase 1
     def _modal_losses(dn_params_list, gcn_params, raw_feats, x0, weights, key):
         feats = [
@@ -157,6 +174,7 @@ def make_train_steps(
                 x0,
                 sampling_step=hyper.sampling_step,
                 key=keys[m],
+                denoise_apply=sample_apply,
             )
             new_buffers.append(
                 topk_scatter_edges(
