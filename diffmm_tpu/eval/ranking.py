@@ -83,3 +83,33 @@ def eval_batch(
     ndcg = jnp.sum(w * dcg / jnp.maximum(max_dcg, 1e-12))
     precision = jnp.sum(w * hits / topk)
     return EvalBatchSums(recall=recall, ndcg=ndcg, precision=precision)
+
+
+@partial(jax.jit, static_argnames=("topk",))
+def eval_epoch(
+    u_final: jax.Array,
+    i_final: jax.Array,
+    users_blocks: jax.Array,
+    valid_blocks: jax.Array,
+    train_dense: jax.Array,
+    items_blocks: jax.Array,
+    counts_blocks: jax.Array,
+    cum_dcg: jax.Array,
+    topk: int,
+) -> jax.Array:
+    """All eval blocks as one compiled scan; returns summed
+    (recall, ndcg, precision). Block inputs carry a leading (n_blocks,) dim."""
+
+    def body(acc, xs):
+        users, valid, t_items, t_counts = xs
+        out = eval_batch(
+            u_final, i_final, users, valid, train_dense, t_items, t_counts,
+            cum_dcg, topk,
+        )
+        return acc + jnp.stack(out), None
+
+    acc0 = jnp.zeros((3,), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(
+        body, acc0, (users_blocks, valid_blocks, items_blocks, counts_blocks)
+    )
+    return acc

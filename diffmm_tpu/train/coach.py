@@ -20,7 +20,7 @@ from diffmm_tpu.config import Config
 from diffmm_tpu.data.loader import EDGE_ALIGN, DeviceData, HostData, to_device
 from diffmm_tpu.data.sampling import negative_sampling
 from diffmm_tpu.diffusion.schedule import make_schedule
-from diffmm_tpu.eval.ranking import dcg_table, eval_batch
+from diffmm_tpu.eval.ranking import dcg_table, eval_epoch
 from diffmm_tpu.models.denoise import init_denoise_params
 from diffmm_tpu.models.gcn import init_gcn_params
 from diffmm_tpu.ops.graph import (
@@ -340,29 +340,28 @@ class Coach:
             batch = cfg.train.test_batch
             idx, valid = _pad_blocks(n_test, batch)
             idx_w = idx % max(n_test, 1)
+            nb = len(idx) // batch
             users = data.test_users.take(jnp.asarray(idx_w))
             t_items = data.test_items.take(jnp.asarray(idx_w), axis=0)
             t_counts = data.test_counts.take(jnp.asarray(idx_w))
             valid_dev = jnp.asarray(valid)
-            sums = np.zeros(3)
-            for b in range(len(idx) // batch):
-                sl = slice(b * batch, (b + 1) * batch)
-                out = eval_batch(
+            sums = np.asarray(
+                eval_epoch(
                     u_final,
                     i_final,
-                    self._put_batch(users[sl]),
-                    self._put_batch(valid_dev[sl]),
+                    self._put_blocks(users.reshape(nb, batch)),
+                    self._put_blocks(valid_dev.reshape(nb, batch)),
                     data.train_dense,
-                    self._put_batch(t_items[sl]),
-                    self._put_batch(t_counts[sl]),
+                    self._put_blocks(t_items.reshape(nb, batch, -1)),
+                    self._put_blocks(t_counts.reshape(nb, batch)),
                     self.cum_dcg,
                     cfg.base.topk,
                 )
-                sums += np.asarray(out)
+            )
         return {
-            "Recall": sums[0] / n_test,
-            "NDCG": sums[1] / n_test,
-            "Precision": sums[2] / n_test,
+            "Recall": float(sums[0]) / n_test,
+            "NDCG": float(sums[1]) / n_test,
+            "Precision": float(sums[2]) / n_test,
         }
 
     # ----------------------------------------------------------- checkpoints
