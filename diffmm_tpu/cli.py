@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="write a jax.profiler trace here (view with TensorBoard/xprof)",
     )
+    parser.add_argument(
+        "--eval-split",
+        default="test",
+        choices=("test", "val"),
+        help="ranking-eval split (val needs a shipped valMat.pkl)",
+    )
     args = parser.parse_args(argv)
 
     try:
@@ -73,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
     from diffmm_tpu.utils.profiling import trace
 
     with trace(args.trace_dir):
-        best = coach.run(epochs=args.epochs)
+        best = coach.run(epochs=args.epochs, eval_split=args.eval_split)
     log.info(
         f"Best epoch: {best['best_epoch']}, Recall: {best['Recall']:.5f}, "
         f"NDCG: {best['NDCG']:.5f}, Precision: {best['Precision']:.5f}"

@@ -119,6 +119,11 @@ class HostData:
     test_items: np.ndarray  # (Tu, maxT) int32, padded with -1
     test_counts: np.ndarray  # (Tu,) int32
     synthesized: list[str] = field(default_factory=list)
+    # validation set (additive: the reference ships valMat.pkl but never
+    # loads it — `DataHandler.py:30-31`; "test" doubles as validation there)
+    val_users: np.ndarray | None = None
+    val_items: np.ndarray | None = None
+    val_counts: np.ndarray | None = None
 
     @property
     def nnz(self) -> int:
@@ -138,6 +143,9 @@ class DeviceData(NamedTuple):
     test_users: jax.Array
     test_items: jax.Array
     test_counts: jax.Array
+    val_users: jax.Array | None
+    val_items: jax.Array | None
+    val_counts: jax.Array | None
 
 
 def load_host_data(config: Config, data_root: str | None = None) -> HostData:
@@ -195,20 +203,15 @@ def load_host_data(config: Config, data_root: str | None = None) -> HostData:
     for mod, dim in zip(mods, feat_dims):
         setattr(config.data, dim_fields[mod], dim)
 
-    # Test users + padded per-user test item lists (reference
+    # Held-out users + padded per-user item lists (reference
     # `DataHandler.py:179-202`). Order follows first appearance in the COO
     # stream only incidentally in the reference; we sort by user id.
-    test_rows = test.row.astype(np.int32)
-    test_cols = test.col.astype(np.int32)
-    t_order = np.lexsort((test_cols, test_rows))
-    test_rows, test_cols = test_rows[t_order], test_cols[t_order]
-    test_users, t_counts = np.unique(test_rows, return_counts=True)
-    max_t = int(t_counts.max()) if len(t_counts) else 1
-    test_items = np.full((len(test_users), max_t), -1, dtype=np.int32)
-    start = 0
-    for i, c in enumerate(t_counts):
-        test_items[i, :c] = test_cols[start : start + c]
-        start += c
+    test_users, test_items, t_counts = group_eval_split(test)
+    val_users = val_items = val_counts = None
+    val_path = os.path.join(data_dir, "valMat.pkl")
+    if os.path.exists(val_path):
+        val = load_interactions(val_path)
+        val_users, val_items, val_counts = group_eval_split(val)
 
     return HostData(
         name=name,
@@ -223,11 +226,30 @@ def load_host_data(config: Config, data_root: str | None = None) -> HostData:
         k_max=int(degrees.max()),
         train_dense=dense,
         raw_feats=raw_feats,
-        test_users=test_users.astype(np.int32),
+        test_users=test_users,
         test_items=test_items,
-        test_counts=t_counts.astype(np.int32),
+        test_counts=t_counts,
         synthesized=synthesized,
+        val_users=val_users,
+        val_items=val_items,
+        val_counts=val_counts,
     )
+
+
+def group_eval_split(mat: sp.coo_matrix):
+    """COO eval matrix -> (users, padded per-user item lists, counts)."""
+    rows = mat.row.astype(np.int32)
+    cols = mat.col.astype(np.int32)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    users, counts = np.unique(rows, return_counts=True)
+    max_n = int(counts.max()) if len(counts) else 1
+    items = np.full((len(users), max_n), -1, dtype=np.int32)
+    start = 0
+    for i, c in enumerate(counts):
+        items[i, :c] = cols[start : start + c]
+        start += c
+    return users.astype(np.int32), items, counts.astype(np.int32)
 
 
 # Edge arrays are padded to this multiple so the nnz axis shards evenly over
@@ -264,4 +286,7 @@ def to_device(host: HostData) -> DeviceData:
         test_users=jnp.asarray(host.test_users),
         test_items=jnp.asarray(host.test_items),
         test_counts=jnp.asarray(host.test_counts),
+        val_users=None if host.val_users is None else jnp.asarray(host.val_users),
+        val_items=None if host.val_items is None else jnp.asarray(host.val_items),
+        val_counts=None if host.val_counts is None else jnp.asarray(host.val_counts),
     )

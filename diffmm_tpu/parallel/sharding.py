@@ -98,6 +98,9 @@ def shard_device_data(data: DeviceData, mesh: Mesh) -> DeviceData:
         test_users=jax.device_put(data.test_users, rep),
         test_items=jax.device_put(data.test_items, rep),
         test_counts=jax.device_put(data.test_counts, rep),
+        val_users=None if data.val_users is None else jax.device_put(data.val_users, rep),
+        val_items=None if data.val_items is None else jax.device_put(data.val_items, rep),
+        val_counts=None if data.val_counts is None else jax.device_put(data.val_counts, rep),
     )
 
 

@@ -324,26 +324,43 @@ class Coach:
         return result
 
     # ------------------------------------------------------------------ eval
-    def test_epoch(self) -> dict[str, float]:
-        """Full-catalog ranking eval (reference `Main.py:390-420`)."""
+    def test_epoch(self, split: str = "test") -> dict[str, float]:
+        """Full-catalog ranking eval (reference `Main.py:390-420`).
+
+        ``split`` may be "val" when the dataset ships a validation matrix —
+        additive over the reference, which never loads valMat.pkl
+        (`DataHandler.py:30-31`) and selects models on test Recall.
+        """
         assert self.modal_adjs is not None, (
             "eval depends on the epoch's rebuilt modality graphs "
             "(reference Main.py:398-400); run train_epoch first"
         )
         cfg = self.config
         data = self.data
+        if split == "test":
+            e_users, e_items, e_counts = (
+                data.test_users, data.test_items, data.test_counts,
+            )
+        elif split == "val":
+            if data.val_users is None:
+                raise ValueError(f"{self.host.name}: no valMat was loaded")
+            e_users, e_items, e_counts = (
+                data.val_users, data.val_items, data.val_counts,
+            )
+        else:
+            raise ValueError(f"unknown eval split {split!r}")
         with self.timer.phase("eval"):
             u_final, i_final = self.steps.gcn_forward(
                 self.gcn_params, data.adj, tuple(self.modal_adjs), data.raw_feats
             )
-            n_test = len(self.host.test_users)
+            n_test = int(e_users.shape[0])
             batch = cfg.train.test_batch
             idx, valid = _pad_blocks(n_test, batch)
             idx_w = idx % max(n_test, 1)
             nb = len(idx) // batch
-            users = data.test_users.take(jnp.asarray(idx_w))
-            t_items = data.test_items.take(jnp.asarray(idx_w), axis=0)
-            t_counts = data.test_counts.take(jnp.asarray(idx_w))
+            users = e_users.take(jnp.asarray(idx_w))
+            t_items = e_items.take(jnp.asarray(idx_w), axis=0)
+            t_counts = e_counts.take(jnp.asarray(idx_w))
             valid_dev = jnp.asarray(valid)
             sums = np.asarray(
                 eval_epoch(
@@ -429,7 +446,9 @@ class Coach:
         s += ", ".join(f"{k}={v:.5f}" for k, v in results.items())
         return s + "  "
 
-    def run(self, epochs: int | None = None) -> dict[str, float]:
+    def run(
+        self, epochs: int | None = None, eval_split: str = "test"
+    ) -> dict[str, float]:
         """Epoch loop with best tracking (reference `Main.py:45-82`)."""
         cfg = self.config
         n_epochs = epochs if epochs is not None else cfg.train.epoch
@@ -461,7 +480,7 @@ class Coach:
                 )
                 self.timer.reset()
                 if tst_flag:
-                    result = self.test_epoch()
+                    result = self.test_epoch(eval_split)
                     his_max = [max(a, b) for a, b in zip(
                         [result["Recall"], result["NDCG"], result["Precision"]], his_max
                     )]
