@@ -1,0 +1,70 @@
+"""Serving: top-k recommendation from trained embeddings.
+
+No reference counterpart (the reference never persists or serves a model —
+SURVEY.md §5.4); this is the deployment surface of the framework: export the
+final GCN embeddings once per model update, then answer per-user top-k
+queries with one MXU matmul + `lax.top_k`, train items masked exactly like
+eval (reference `Main.py:410` semantics).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RecIndex(NamedTuple):
+    """Frozen model state for serving: final embeddings + train mask."""
+
+    u_final: jax.Array  # (U, d)
+    i_final: jax.Array  # (I, d)
+    train_dense: jax.Array  # (U, I) int8 — mask of already-seen items
+
+
+@partial(jax.jit, static_argnames=("k", "mask_seen"))
+def recommend(
+    index: RecIndex, users: jax.Array, k: int, mask_seen: bool = True
+) -> tuple[jax.Array, jax.Array]:
+    """Top-``k`` items (ids, scores) for a batch of user ids."""
+    u = index.u_final.take(users, axis=0)  # (B, d)
+    scores = u @ index.i_final.T  # (B, I)
+    if mask_seen:
+        mask = index.train_dense.take(users, axis=0).astype(scores.dtype)
+        scores = scores * (1.0 - mask) - mask * 1e8
+    top_scores, top_ids = jax.lax.top_k(scores, k)
+    return top_ids, top_scores
+
+
+def build_index(coach) -> RecIndex:
+    """Freeze a trained Coach into a serving index (runs the GCN forward
+    with the epoch's rebuilt modality graphs, like eval)."""
+    assert coach.modal_adjs is not None, "train (or restore) before serving"
+    u_final, i_final = coach.steps.gcn_forward(
+        coach.gcn_params, coach.data.adj, tuple(coach.modal_adjs),
+        coach.data.raw_feats,
+    )
+    return RecIndex(
+        u_final=u_final, i_final=i_final, train_dense=coach.data.train_dense
+    )
+
+
+def save_index(index: RecIndex, path: str) -> None:
+    np.savez(
+        path,
+        u_final=np.asarray(index.u_final),
+        i_final=np.asarray(index.i_final),
+        train_dense=np.asarray(index.train_dense),
+    )
+
+
+def load_index(path: str) -> RecIndex:
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    return RecIndex(
+        u_final=jnp.asarray(data["u_final"]),
+        i_final=jnp.asarray(data["i_final"]),
+        train_dense=jnp.asarray(data["train_dense"]),
+    )

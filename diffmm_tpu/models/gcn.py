@@ -33,12 +33,18 @@ class GCNOutput(NamedTuple):
     """Mirror of the reference's GCNOutput dataclass (`Model.py:72-81`).
 
     ``modal_u/modal_i`` stack the per-modality one-hop views in modality order
-    (image, text[, audio]) as (M, U, d) / (M, I, d)."""
+    (image, text[, audio]) as (M, U, d) / (M, I, d). ``id_u/id_i`` expose the
+    one-hop ID propagation over the main graph — identical to the first
+    (pre-noise) cross-layer-CL propagation (reference `Main.py:315-319` runs
+    the same operator on the same embeddings), so the trainer reuses it
+    instead of recomputing."""
 
     u_final: jax.Array
     i_final: jax.Array
     modal_u: jax.Array
     modal_i: jax.Array
+    id_u: jax.Array
+    id_i: jax.Array
 
 
 def _xavier_uniform(key, shape):
@@ -125,4 +131,7 @@ def gcn_mm(
     final_u = fused_u + hop_u + residual_weight * fused_u
     final_i = fused_i + hop_i + residual_weight * fused_i
 
-    return GCNOutput(u_final=final_u, i_final=final_i, modal_u=modal_u, modal_i=modal_i)
+    return GCNOutput(
+        u_final=final_u, i_final=final_i, modal_u=modal_u, modal_i=modal_i,
+        id_u=id_u, id_i=id_i,
+    )

@@ -206,16 +206,19 @@ def make_train_steps(
         return buffers
 
     # ---------------------------------------------------------------- phase 3
-    def _cross_layer_cl(params, adj: BiAdj, users, pos_items, key):
+    def _cross_layer_cl(id_u, id_i, adj: BiAdj, users, pos_items, key):
         """3-layer noisy propagation + layer-0-vs-mean InfoNCE
-        (reference `Main.py:314-334`)."""
-        ju, ji = params["u_embs"], params["i_embs"]
+        (reference `Main.py:314-334`). ``id_u/id_i`` are the first (pre-noise)
+        propagation, reused from the GCN forward — the reference recomputes
+        the identical `torch.sparse.mm` (`Main.py:319`)."""
+        ju, ji = id_u, id_i
         acc_u = jnp.zeros_like(ju)
         acc_i = jnp.zeros_like(ji)
         layer0_u, layer0_i = ju, ji
         keys = jax.random.split(key, 6)
         for k in range(3):
-            ju, ji = spmm_bi(adj, ju, ji)
+            if k > 0:
+                ju, ji = spmm_bi(adj, ju, ji)
             noise_u = jax.random.uniform(keys[2 * k], ju.shape, dtype=ju.dtype)
             noise_i = jax.random.uniform(keys[2 * k + 1], ji.shape, dtype=ji.dtype)
             ju = ju + jnp.sign(ju) * l2_normalize(noise_u, axis=1) * hyper.noise_degree
@@ -265,7 +268,7 @@ def make_train_steps(
             neg_e = out.i_final.take(neg_items, axis=0)
             rec = bpr_loss(u_e, pos_e, neg_e)
             reg = l2_reg_loss(train_cfg.reg, [params["u_embs"], params["i_embs"]])
-            cl = _cross_layer_cl(params, adj, users, pos_items, key)
+            cl = _cross_layer_cl(out.id_u, out.id_i, adj, users, pos_items, key)
             cl = cl + _modal_cl(out, users, pos_items)
             total = rec + reg + cl
             return total, (rec, reg, cl)
