@@ -44,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
         choices=("test", "val"),
         help="ranking-eval split (val needs a shipped valMat.pkl)",
     )
+    parser.add_argument(
+        "--export-index",
+        default=None,
+        metavar="PATH",
+        help="after training, save a serving index (embeddings + mask) here",
+    )
     args = parser.parse_args(argv)
 
     try:
@@ -84,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
         f"Best epoch: {best['best_epoch']}, Recall: {best['Recall']:.5f}, "
         f"NDCG: {best['NDCG']:.5f}, Precision: {best['Precision']:.5f}"
     )
+    if args.export_index:
+        from diffmm_tpu.eval.serving import build_index, save_index
+
+        save_index(build_index(coach), args.export_index)
+        log.info(f"Serving index saved to {args.export_index} 📦")
     return 0
 
 
