@@ -50,7 +50,19 @@ def main(argv: list[str] | None = None) -> int:
         metavar="PATH",
         help="after training, save a serving index (embeddings + mask) here",
     )
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host: call jax.distributed.initialize() before anything "
+        "else (coordinator/process env per JAX's standard variables); the "
+        "mesh then spans all hosts' devices over ICI/DCN",
+    )
     args = parser.parse_args(argv)
+
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()
 
     try:
         config = load_config(args.config)

@@ -473,6 +473,14 @@ class Coach:
                 result = self.train_epoch(epoch)
                 jax.block_until_ready(self.gcn_params["u_embs"])
                 self.epoch_times.append(time.perf_counter() - t0)
+                # Failure detection (absent in the reference, SURVEY.md §5.3):
+                # catch divergence at the epoch boundary; with checkpointing
+                # on, the last good epoch is already on disk for resume.
+                if not all(np.isfinite(v) for v in result.values()):
+                    self.log.info(f"💥 Non-finite losses at epoch {epoch}: {result}")
+                    raise FloatingPointError(
+                        f"training diverged at epoch {epoch}: {result}"
+                    )
                 self.log.info(self.make_print("⏩ Train", epoch, result))
                 self.log.info(
                     f"⏱️ epoch {self.epoch_times[-1]:.2f}s "
