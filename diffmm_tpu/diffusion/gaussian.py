@@ -126,7 +126,7 @@ def generate_view(
     schedule: DiffusionSchedule,
     denoise_params,
     x_start: jax.Array,
-    sampling_step: int,
+    sampling_step,
     key: jax.Array | None = None,
     denoise_apply: DenoiseApply = denoise_forward,
 ) -> jax.Array:
@@ -136,14 +136,25 @@ def generate_view(
     Otherwise q-sample to ``t = sampling_step - 1`` with the sign-normalized
     noise, then run the full ``steps-1 .. 0`` posterior-mean loop (the loop
     always covers all steps regardless of ``sampling_step``, `Model.py:316`).
+
+    ``sampling_step`` may be a Python int (static fast path: the q-sample is
+    compiled out when 0) or a traced scalar (dynamic path: lets experiment
+    sweeps change it without recompiling — tools/sweep.py).
     """
     batch = x_start.shape[0]
-    if sampling_step == 0:
-        x_t = x_start
+    if isinstance(sampling_step, int):
+        if sampling_step == 0:
+            x_t = x_start
+        else:
+            assert key is not None, "sampling_step > 0 requires an RNG key"
+            t0 = jnp.full((batch,), sampling_step - 1, dtype=jnp.int32)
+            x_t = q_sample(schedule, x_start, t0, noise=None, key=key)
     else:
-        assert key is not None, "sampling_step > 0 requires an RNG key"
-        t0 = jnp.full((batch,), sampling_step - 1, dtype=jnp.int32)
-        x_t = q_sample(schedule, x_start, t0, noise=None, key=key)
+        assert key is not None, "traced sampling_step requires an RNG key"
+        s = jnp.asarray(sampling_step, dtype=jnp.int32)
+        t0 = jnp.full((batch,), jnp.maximum(s - 1, 0), dtype=jnp.int32)
+        noised = q_sample(schedule, x_start, t0, noise=None, key=key)
+        x_t = jnp.where(s == 0, x_start, noised)
 
     def body(x, i):
         t = jnp.full((batch,), i, dtype=jnp.int32)

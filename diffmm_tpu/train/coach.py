@@ -158,6 +158,46 @@ class Coach:
                 f"⚠️ synthesized missing feature blobs for: {host.synthesized}"
             )
 
+    # ----------------------------------------------------------------- reset
+    def reset(self, seed: int | None = None) -> None:
+        """Re-initialize params/optimizer/RNG for a fresh run with the SAME
+        compiled programs — lets hyperparameter sweeps (tools/sweep.py) avoid
+        the (very slow, §verify-skill) recompiles a new Coach would pay."""
+        if seed is not None:
+            self.config.base.seed = seed
+        cfg = self.config
+        host = self.host
+        tx = make_adam()
+        self.key = jax.random.PRNGKey(cfg.base.seed)
+        self.np_rng = np.random.default_rng(cfg.base.seed)
+        self.key, k_gcn, *k_dns = jax.random.split(self.key, 2 + self.n_modal)
+        self.gcn_params = init_gcn_params(
+            k_gcn, host.user_num, host.item_num, cfg.base.latdim, host.feat_dims
+        )
+        hidden = cfg.base.denoise_dims()
+        self.dn_params = [
+            init_denoise_params(
+                k, host.item_num, hidden, cfg.base.d_emb_size, cfg.base.latdim
+            )
+            for k in k_dns
+        ]
+        self.gcn_opt_state = tx.init(self.gcn_params)
+        self.dn_opt_states = [tx.init(p) for p in self.dn_params]
+        if self.mesh is not None:
+            (
+                self.gcn_params,
+                self.dn_params,
+                self.gcn_opt_state,
+                self.dn_opt_states,
+            ) = replicate(
+                (self.gcn_params, self.dn_params, self.gcn_opt_state, self.dn_opt_states),
+                self.mesh,
+            )
+        self.modal_adjs = None
+        self.edge_buffers = None
+        self.epoch_times = []
+        self.timer.reset()
+
     # ------------------------------------------------------------------ keys
     def _next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
@@ -272,6 +312,7 @@ class Coach:
                 self._put_blocks(valid_seq.reshape(n_reb_blocks, batch)),
                 edge_buffers,
                 jax.random.split(self._next_key(), n_reb_blocks),
+                jnp.int32(cfg.hyper.sampling_step),
             )
             self.edge_buffers = edge_buffers
             self.modal_adjs = [

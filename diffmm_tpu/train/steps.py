@@ -160,7 +160,7 @@ def make_train_steps(
 
     # ---------------------------------------------------------------- phase 2
     def _rebuild_block(dn_params_list, train_dense, users, degrees_all,
-                       offsets_all, valid, edge_buffers, key):
+                       offsets_all, valid, edge_buffers, key, sampling_step):
         """Reverse-diffuse a user block per modality, scatter top-k edges."""
         x0 = train_dense.take(users, axis=0).astype(jnp.float32)
         degrees = degrees_all.take(users)
@@ -172,7 +172,7 @@ def make_train_steps(
                 schedule,
                 dn_params_list[m],
                 x0,
-                sampling_step=hyper.sampling_step,
+                sampling_step=sampling_step,
                 key=keys[m],
                 denoise_apply=sample_apply,
             )
@@ -188,15 +188,17 @@ def make_train_steps(
 
     @jax.jit
     def rebuild_epoch(dn_params_list, train_dense, users_blocks, degrees_all,
-                      offsets_all, valid_blocks, edge_buffers, keys):
+                      offsets_all, valid_blocks, edge_buffers, keys,
+                      sampling_step):
         """All rebuild blocks of one epoch as a single compiled scan,
-        carrying the per-modality edge buffers."""
+        carrying the per-modality edge buffers. ``sampling_step`` is traced
+        so hyperparameter sweeps don't retrace."""
 
         def body(buffers, xs):
             users, valid, key = xs
             buffers = _rebuild_block(
                 dn_params_list, train_dense, users, degrees_all, offsets_all,
-                valid, buffers, key,
+                valid, buffers, key, sampling_step,
             )
             return buffers, None
 

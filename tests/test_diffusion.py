@@ -67,6 +67,20 @@ def test_generate_view_sampling_step_noises(rng):
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+def test_generate_view_traced_step_matches_static(rng):
+    """The dynamic (traced sampling_step) path == the static path, for 0 and
+    for >0 with the same key."""
+    params = init_denoise_params(jax.random.PRNGKey(2), 12, [8], 10, 4)
+    x0 = jnp.asarray((rng.random((5, 12)) < 0.3).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    for s in (0, 2, 4):
+        static = generate_view(SCHED, params, x0, s, key=key)
+        traced = generate_view(SCHED, params, x0, jnp.int32(s), key=key)
+        np.testing.assert_allclose(
+            np.asarray(static), np.asarray(traced), rtol=1e-6, atol=1e-7
+        )
+
+
 def test_training_losses_terms(rng):
     """Check the three loss terms against a torch recomputation with the
     same x_t/t/noise (extracted by reproducing the jax RNG draws)."""
