@@ -228,23 +228,52 @@ def build_dense_bi_adj_device(
     )
 
 
+def _use_dual_kernel(user_num: int, item_num: int, d: int) -> bool:
+    """Trace-time gate for the fused dual-direction Pallas SpMM: TPU backend,
+    working set fits VMEM; DIFFMM_SPMM=dual|two_pass overrides."""
+    import os
+
+    # Measured on v5e/tiktok: epoch time is a wash vs the two XLA matmuls —
+    # the VMEM budget forces 128-row M blocks, whose per-step overhead eats
+    # the halved adjacency traffic. Default is therefore the two-pass XLA
+    # path; DIFFMM_SPMM=dual opts the fused kernel in (it is exact-parity
+    # tested and may win at other shapes).
+    mode = os.environ.get("DIFFMM_SPMM", "two_pass")
+    if mode != "dual":
+        return False
+    from diffmm_tpu.ops.pallas.spmm_dual import dual_fits_vmem
+
+    return dual_fits_vmem(user_num, item_num, d)
+
+
 def _spmm_bi_dense(adj: DenseBiAdj, x_user: jax.Array, x_item: jax.Array):
-    """Dense-form ``y = D^-1/2 (A + I) D^-1/2 x``: two bf16 MXU matmuls with
-    f32 accumulation. The 0/1 matrix is exact in bf16; only the embeddings
-    round to bf16 on the MXU input — the same rounding XLA's default-precision
-    f32 matmul applies."""
-    z_u = (x_user * adj.s_user[:, None]).astype(jnp.bfloat16)
-    z_i = (x_item * adj.s_item[:, None]).astype(jnp.bfloat16)
-    m_u = jax.lax.dot_general(
-        adj.mat, z_i, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_i = jax.lax.dot_general(
-        adj.mat, z_u, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    """Dense-form ``y = D^-1/2 (A + I) D^-1/2 x``: bf16 MXU matmuls with f32
+    accumulation. The 0/1 matrix is exact in bf16; only the embeddings round
+    to bf16 on the MXU input — the same rounding XLA's default-precision f32
+    matmul applies.
+
+    Two implementations, same math: the fused dual-direction Pallas kernel
+    (one pass over the adjacency for both directions, fwd AND bwd —
+    ops/pallas/spmm_dual.py) when it fits VMEM on TPU, else two XLA matmuls.
+    """
     z_u32 = x_user * adj.s_user[:, None]
     z_i32 = x_item * adj.s_item[:, None]
+    if _use_dual_kernel(adj.user_num, adj.item_num, x_user.shape[1]):
+        from diffmm_tpu.ops.pallas.spmm_dual import pick_tu, spmm_dual
+
+        tu = pick_tu(adj.user_num, adj.item_num, x_user.shape[1])
+        m_u, m_i = spmm_dual(adj.mat, z_u32, z_i32, tu)
+    else:
+        z_u = z_u32.astype(jnp.bfloat16)
+        z_i = z_i32.astype(jnp.bfloat16)
+        m_u = jax.lax.dot_general(
+            adj.mat, z_i, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_i = jax.lax.dot_general(
+            adj.mat, z_u, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     y_u = adj.s_user[:, None] * (m_u + z_u32)
     y_i = adj.s_item[:, None] * (m_i + z_i32)
     return y_u, y_i
