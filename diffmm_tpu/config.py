@@ -38,8 +38,9 @@ class BaseConfig:
     d_emb_size: int = 10
     cl_method: int = 0
     # TPU-specific: denoiser forward implementation for the no-grad reverse
-    # sampling path — "auto" uses the fused Pallas kernel on TPU for
-    # single-hidden-layer configs, XLA otherwise; "pallas"/"xla" force one.
+    # sampling path. "auto"/"xla" use the XLA forward (measured equal to the
+    # fused kernel on v5e — XLA already fuses this MLP); "pallas" opts into
+    # the fused Pallas kernel (single-hidden-layer configs only).
     denoiser_impl: str = "auto"
 
     def denoise_dims(self) -> list[int]:

@@ -270,11 +270,18 @@ def pad_edges(
     return rows, cols
 
 
-def to_device(host: HostData) -> DeviceData:
+def to_device(host: HostData, with_sparse_adj: bool = True) -> DeviceData:
+    """``with_sparse_adj=False`` skips the host-side sparse adjacency build
+    (sorting + iu_perm) for runs on the dense MXU graph form, which replaces
+    ``adj`` anyway (train/coach.py)."""
     rows_p, cols_p = pad_edges(
         host.train_rows, host.train_cols, host.user_num, host.item_num
     )
-    adj = build_bi_adj_host(rows_p, cols_p, host.user_num, host.item_num)
+    adj = (
+        build_bi_adj_host(rows_p, cols_p, host.user_num, host.item_num)
+        if with_sparse_adj
+        else None
+    )
     return DeviceData(
         adj=adj,
         train_rows=jnp.asarray(rows_p),

@@ -241,6 +241,9 @@ def _use_dual_kernel(user_num: int, item_num: int, d: int) -> bool:
     mode = os.environ.get("DIFFMM_SPMM", "two_pass")
     if mode != "dual":
         return False
+    if jax.default_backend() in ("cpu",):
+        # the compiled kernel only lowers on TPU; interpret mode is for tests
+        return False
     from diffmm_tpu.ops.pallas.spmm_dual import dual_fits_vmem
 
     return dual_fits_vmem(user_num, item_num, d)

@@ -88,7 +88,7 @@ def shard_device_data(data: DeviceData, mesh: Mesh) -> DeviceData:
     rep = replicated(mesh)
     edge = data_sharded(mesh)
     return DeviceData(
-        adj=_shard_adj(data.adj, mesh),
+        adj=None if data.adj is None else _shard_adj(data.adj, mesh),
         train_rows=jax.device_put(data.train_rows, edge),
         train_cols=jax.device_put(data.train_cols, edge),
         user_degrees=jax.device_put(data.user_degrees, rep),

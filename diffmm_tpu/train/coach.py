@@ -75,14 +75,32 @@ class Coach:
     ):
         self.config = config
         self.host = host
-        self.data = device if device is not None else to_device(host)
         self.mesh = mesh
+        self.log = log or Log("coach", config.data.name)
+        self.n_modal = len(host.modalities)
+
+        # Graph form: dense MXU matmuls vs segment-sum SpMM (ops/graph.py).
+        # Decided before device placement so the (discarded-in-dense-mode)
+        # host-side sparse adjacency build is skipped entirely.
+        form = config.train.graph_form
+        if form == "auto":
+            bytes_needed = (self.n_modal + 1) * host.user_num * host.item_num * 2
+            self.dense_graphs = bytes_needed <= DENSE_GRAPH_BUDGET_BYTES
+        elif form in ("dense", "sparse"):
+            self.dense_graphs = form == "dense"
+        else:
+            raise ValueError(
+                f"train.graph_form must be auto|dense|sparse, got {form!r}"
+            )
+
+        if device is not None:
+            self.data = device
+        else:
+            self.data = to_device(host, with_sparse_adj=not self.dense_graphs)
         if mesh is not None:
             check_batch_divisibility(config.train.batch, mesh)
             check_batch_divisibility(config.train.test_batch, mesh)
             self.data = shard_device_data(self.data, mesh)
-        self.log = log or Log("coach", config.data.name)
-        self.n_modal = len(host.modalities)
 
         self.schedule = make_schedule(
             config.hyper.noise_scale,
@@ -95,40 +113,7 @@ class Coach:
             config, self.schedule, self.n_modal, host.k_max, self.edge_buf_len
         )
         self.cum_dcg = dcg_table(config.base.topk)
-        self.key = jax.random.PRNGKey(config.base.seed)
-        self.np_rng = np.random.default_rng(config.base.seed)
 
-        # ---- parameters & optimizer state (reference Main.py:85-110) ----
-        tx = make_adam()
-        self.key, k_gcn, *k_dns = jax.random.split(self.key, 2 + self.n_modal)
-        self.gcn_params = init_gcn_params(
-            k_gcn, host.user_num, host.item_num, config.base.latdim, host.feat_dims
-        )
-        hidden = config.base.denoise_dims()
-        self.dn_params = [
-            init_denoise_params(
-                k, host.item_num, hidden, config.base.d_emb_size, config.base.latdim
-            )
-            for k in k_dns
-        ]
-        self.gcn_opt_state = tx.init(self.gcn_params)
-        self.dn_opt_states = [tx.init(p) for p in self.dn_params]
-        if mesh is not None:
-            # Params and optimizer state are replicated; XLA inserts the
-            # gradient psum over the data axis on its own.
-            (
-                self.gcn_params,
-                self.dn_params,
-                self.gcn_opt_state,
-                self.dn_opt_states,
-            ) = replicate(
-                (self.gcn_params, self.dn_params, self.gcn_opt_state, self.dn_opt_states),
-                mesh,
-            )
-
-        self.modal_adjs: list[BiAdj] | None = None
-        self.edge_buffers: list[jax.Array] | None = None
-        self.epoch_times: list[float] = []
         self.timer = PhaseTimer()
         self.ckpt = None
         if checkpoint_dir is not None:
@@ -136,13 +121,7 @@ class Coach:
 
             self.ckpt = CheckpointManager(checkpoint_dir)
 
-        # Graph form: dense MXU matmuls vs segment-sum SpMM (ops/graph.py)
-        form = config.train.graph_form
-        if form == "auto":
-            bytes_needed = (self.n_modal + 1) * host.user_num * host.item_num * 2
-            self.dense_graphs = bytes_needed <= DENSE_GRAPH_BUDGET_BYTES
-        else:
-            self.dense_graphs = form == "dense"
+        self._init_state()
         if self.dense_graphs:
             self.data = self.data._replace(
                 adj=self._make_adj(self.data.train_rows, self.data.train_cols)
@@ -158,13 +137,10 @@ class Coach:
                 f"⚠️ synthesized missing feature blobs for: {host.synthesized}"
             )
 
-    # ----------------------------------------------------------------- reset
-    def reset(self, seed: int | None = None) -> None:
-        """Re-initialize params/optimizer/RNG for a fresh run with the SAME
-        compiled programs — lets hyperparameter sweeps (tools/sweep.py) avoid
-        the (very slow, §verify-skill) recompiles a new Coach would pay."""
-        if seed is not None:
-            self.config.base.seed = seed
+    # ------------------------------------------------------------ init/reset
+    def _init_state(self) -> None:
+        """(Re)initialize params, optimizer state, RNG streams and per-run
+        trackers (reference Main.py:85-110 prepares the same groups)."""
         cfg = self.config
         host = self.host
         tx = make_adam()
@@ -184,6 +160,8 @@ class Coach:
         self.gcn_opt_state = tx.init(self.gcn_params)
         self.dn_opt_states = [tx.init(p) for p in self.dn_params]
         if self.mesh is not None:
+            # Params and optimizer state are replicated; XLA inserts the
+            # gradient psum over the data axis on its own.
             (
                 self.gcn_params,
                 self.dn_params,
@@ -193,10 +171,18 @@ class Coach:
                 (self.gcn_params, self.dn_params, self.gcn_opt_state, self.dn_opt_states),
                 self.mesh,
             )
-        self.modal_adjs = None
-        self.edge_buffers = None
-        self.epoch_times = []
+        self.modal_adjs: list[BiAdj] | None = None
+        self.edge_buffers: list[jax.Array] | None = None
+        self.epoch_times: list[float] = []
         self.timer.reset()
+
+    def reset(self, seed: int | None = None) -> None:
+        """Re-initialize params/optimizer/RNG for a fresh run with the SAME
+        compiled programs — lets hyperparameter sweeps (tools/sweep.py) avoid
+        the (very slow, §verify-skill) recompiles a new Coach would pay."""
+        if seed is not None:
+            self.config.base.seed = seed
+        self._init_state()
 
     # ------------------------------------------------------------------ keys
     def _next_key(self) -> jax.Array:
@@ -210,6 +196,23 @@ class Coach:
     def _put_blocks(self, x: jax.Array) -> jax.Array:
         """(n_blocks, batch) epoch input: batch dim over the data axis."""
         return shard_blocks(x, self.mesh) if self.mesh is not None else x
+
+    def _knn_adjs(self) -> list:
+        """Modality graphs from the KNN ablation (static per run — depend
+        only on features + train edges, reference `Main.py:118-134`)."""
+        from diffmm_tpu.ops.knn import build_knn_adj
+
+        return [
+            build_knn_adj(
+                self.data.train_rows,
+                self.data.train_cols,
+                feats,
+                self.host.user_num,
+                self.host.item_num,
+                self.config.hyper.knn_topk,
+            )
+            for feats in self.data.raw_feats
+        ]
 
     def _make_adj(self, rows: jax.Array, cols: jax.Array):
         """Build a normalized adjacency in the run's chosen graph form."""
@@ -276,21 +279,9 @@ class Coach:
         # so computed once and cached)
         if cfg.hyper.use_knn_adj:
             if self.modal_adjs is None:
-                from diffmm_tpu.ops.knn import build_knn_adj
-
-                self.modal_adjs = [
-                    build_knn_adj(
-                        data.train_rows,
-                        data.train_cols,
-                        feats,
-                        self.host.user_num,
-                        self.host.item_num,
-                        cfg.hyper.knn_topk,
-                    )
-                    for feats in data.raw_feats
-                ]
+                self.modal_adjs = self._knn_adjs()
             return self._joint_phase(epoch, lr, negs, modal_loss_acc)
-        idx, valid = _pad_blocks(self.host.user_num, batch)
+        # same block layout as phase 1 (identical n/batch)
         users_seq = jnp.asarray(idx)
         valid_seq = jnp.asarray(valid)
         # Buffers start at the item_num sentinel so pad lanes (beyond the real
@@ -390,6 +381,11 @@ class Coach:
             )
         else:
             raise ValueError(f"unknown eval split {split!r}")
+        if int(e_users.shape[0]) == 0:
+            # a shipped split can be empty (e.g. a builder-produced valMat
+            # when every user had too few interactions to hold one out)
+            self.log.info(f"⚠️ eval split {split!r} has no users; skipping")
+            return {"Recall": 0.0, "NDCG": 0.0, "Precision": 0.0}
         with self.timer.phase("eval"):
             u_final, i_final = self.steps.gcn_forward(
                 self.gcn_params, data.adj, tuple(self.modal_adjs), data.raw_feats
@@ -424,12 +420,19 @@ class Coach:
 
     # ----------------------------------------------------------- checkpoints
     def _ckpt_arrays(self):
+        # Under the KNN ablation there are no diffusion-rebuilt edge buffers
+        # (the graphs are a pure function of data) — store an empty list so
+        # save/restore trees always match.
+        if self.config.hyper.use_knn_adj:
+            buffers = []
+        else:
+            buffers = self.edge_buffers
         return {
             "gcn_params": self.gcn_params,
             "gcn_opt_state": self.gcn_opt_state,
             "dn_params": self.dn_params,
             "dn_opt_states": self.dn_opt_states,
-            "edge_buffers": self.edge_buffers,
+            "edge_buffers": buffers,
         }
 
     def save_checkpoint(self, epoch: int, best: dict[str, float]) -> None:
@@ -467,12 +470,16 @@ class Coach:
         self.gcn_opt_state = arrays["gcn_opt_state"]
         self.dn_params = arrays["dn_params"]
         self.dn_opt_states = arrays["dn_opt_states"]
-        self.edge_buffers = arrays["edge_buffers"]
-        if self.edge_buffers is not None:
-            self.modal_adjs = [
-                self._make_adj(self.data.train_rows, buf)
-                for buf in self.edge_buffers
-            ]
+        if self.config.hyper.use_knn_adj:
+            self.edge_buffers = None
+            self.modal_adjs = self._knn_adjs()
+        else:
+            self.edge_buffers = arrays["edge_buffers"]
+            if self.edge_buffers is not None:
+                self.modal_adjs = [
+                    self._make_adj(self.data.train_rows, buf)
+                    for buf in self.edge_buffers
+                ]
         self.key = key_from_list(aux["key"])
         self.np_rng = rng_state_from_json(aux["np_rng"])
         best = dict(aux["best"])

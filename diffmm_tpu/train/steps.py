@@ -69,12 +69,17 @@ def make_train_steps(
     # hidden activation fused here — so "auto" resolves to XLA and the
     # kernel stays opt-in for larger catalogs / future shapes.
     sample_apply = denoise_forward
-    if config.base.denoiser_impl == "pallas":
+    impl = config.base.denoiser_impl
+    if impl == "pallas":
         if len(config.base.denoise_dims()) != 1:
             raise ValueError("denoiser_impl='pallas' needs a single hidden layer")
         from diffmm_tpu.ops.pallas.denoise_mlp import denoise_forward_pallas
 
         sample_apply = denoise_forward_pallas
+    elif impl not in ("auto", "xla"):
+        raise ValueError(
+            f"base.denoiser_impl must be auto|xla|pallas, got {impl!r}"
+        )
 
     # ---------------------------------------------------------------- phase 1
     def _modal_losses(dn_params_list, gcn_params, raw_feats, x0, weights, key):

@@ -46,6 +46,25 @@ def test_resume_matches_uninterrupted(cfg, tiny_data, tmp_path):
     assert best["Recall"] == pytest.approx(full.test_epoch()["Recall"], abs=1e-6) or True
 
 
+def test_knn_ablation_checkpoint_roundtrip(cfg, tiny_data, tmp_path):
+    """use_knn_adj runs have no diffusion edge buffers; save/restore must
+    still round-trip and rebuild the (data-derived) KNN graphs."""
+    c = copy.deepcopy(cfg)
+    c.hyper.use_knn_adj = True
+    ck = str(tmp_path / "knn_ck")
+    first = Coach(c, tiny_data, checkpoint_dir=ck)
+    first.run(epochs=1)
+    metrics_before = first.test_epoch()
+    first.ckpt.close()
+
+    second = Coach(copy.deepcopy(c), tiny_data, checkpoint_dir=ck)
+    assert second.restore_checkpoint() is not None
+    assert second.modal_adjs is not None
+    metrics_after = second.test_epoch()
+    for k in metrics_before:
+        assert metrics_before[k] == pytest.approx(metrics_after[k], abs=1e-6)
+
+
 def test_eval_after_restore_without_training(cfg, tiny_data, tmp_path):
     """The rebuilt modality graphs are checkpointed, so a restored Coach can
     evaluate immediately (eval depends on them, reference Main.py:398-400)."""

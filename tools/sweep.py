@@ -44,21 +44,28 @@ def main(argv=None) -> int:
 
     # Most hypers are compile-time constants baked into the jitted phase
     # programs; only runtime-traced knobs can be swept on a reused Coach.
-    DYNAMIC_SAFE = {"sampling_step"}
+    # "seed" re-initializes via Coach.reset — also recompile-free.
+    DYNAMIC_SAFE = {"sampling_step", "seed"}
     if args.param not in DYNAMIC_SAFE:
         raise SystemExit(
             f"--param {args.param} is a compile-time constant; sweeping it on "
             f"a reused Coach would silently keep the old value. Run separate "
             f"processes instead (dynamic-safe params: {sorted(DYNAMIC_SAFE)})."
         )
-    caster = type(getattr(config.hyper, args.param))
-    values = [caster(v) for v in args.values.split(",")]
+    if args.param == "seed":
+        values = [int(v) for v in args.values.split(",")]
+    else:
+        caster = type(getattr(config.hyper, args.param))
+        values = [caster(v) for v in args.values.split(",")]
 
     results = []
     for i, value in enumerate(values):
-        if i > 0:
-            coach.reset()
-        setattr(config.hyper, args.param, value)
+        if args.param == "seed":
+            coach.reset(seed=value)
+        else:
+            if i > 0:
+                coach.reset()
+            setattr(config.hyper, args.param, value)
         log.info(f"🔁 sweep {args.param} = {value}")
         best = coach.run(epochs=args.epochs)
         results.append({args.param: value, **best})
