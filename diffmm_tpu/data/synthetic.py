@@ -30,11 +30,22 @@ def make_synthetic_host_data(
     mods = modalities or ["image", "text", "audio"]
     dims = feat_dims or [16, 24, 16][: len(mods)]
 
-    dense = (rng.random((user_num, item_num)) < density).astype(np.int8)
-    # guarantee at least one interaction per user and per item
-    for u in range(user_num):
-        if dense[u].sum() == 0:
-            dense[u, rng.integers(item_num)] = 1
+    if user_num * item_num <= 2 * 10**8:
+        dense = (rng.random((user_num, item_num)) < density).astype(np.int8)
+        # guarantee at least one interaction per user
+        for u in range(user_num):
+            if dense[u].sum() == 0:
+                dense[u, rng.integers(item_num)] = 1
+    else:
+        # large shapes: draw edges sparsely instead of materializing a
+        # float64 (U, I) random matrix on host
+        n_draw = int(user_num * item_num * density)
+        r = rng.integers(0, user_num, n_draw)
+        c = rng.integers(0, item_num, n_draw)
+        dense = np.zeros((user_num, item_num), dtype=np.int8)
+        dense[r, c] = 1
+        missing = np.nonzero(dense.sum(axis=1) == 0)[0]
+        dense[missing, rng.integers(0, item_num, len(missing))] = 1
     rows, cols = np.nonzero(dense)
     rows = rows.astype(np.int32)
     cols = cols.astype(np.int32)

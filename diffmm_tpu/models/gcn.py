@@ -102,8 +102,15 @@ def gcn_mm(
     raw_feats: list[jax.Array],
     modal_adj_weight: float,
     residual_weight: float,
+    main_segsum: tuple[bool, bool] = (False, False),
+    modal_segsum: tuple[bool, bool] = (False, False),
 ) -> GCNOutput:
-    """Multi-modal graph aggregation (reference `Model.py:60-134`)."""
+    """Multi-modal graph aggregation (reference `Model.py:60-134`).
+
+    ``main_segsum``/``modal_segsum``: host-verified static flags selecting
+    the MXU sorted-segment-sum per propagation direction on the sparse
+    graph form (see ops/graph.py::spmm_bi); no-ops on the dense form.
+    """
     u_embs = params["u_embs"]
     i_embs = params["i_embs"]
     feats = project_features(params, raw_feats)
@@ -112,7 +119,7 @@ def gcn_mm(
     # Per-modality one-hop view over the rebuilt modality adjacency.
     modal_u, modal_i = [], []
     for m_adj, f in zip(modal_adjs, feats):
-        mu, mi = spmm_bi(m_adj, u_embs, l2_normalize(f, axis=1))
+        mu, mi = spmm_bi(m_adj, u_embs, l2_normalize(f, axis=1), modal_segsum)
         modal_u.append(mu)
         modal_i.append(mi)
     modal_u = jnp.stack(modal_u)  # (M, U, d)
@@ -120,14 +127,14 @@ def gcn_mm(
 
     # ID propagation over the main graph (identical per modality in the
     # reference; computed once here).
-    id_u, id_i = spmm_bi(adj, u_embs, i_embs)
+    id_u, id_i = spmm_bi(adj, u_embs, i_embs, main_segsum)
 
     aware_u = id_u[None] + modal_adj_weight * modal_u  # (M, U, d)
     aware_i = id_i[None] + modal_adj_weight * modal_i
     fused_u = jnp.einsum("m,mud->ud", weight, aware_u)
     fused_i = jnp.einsum("m,mid->id", weight, aware_i)
 
-    hop_u, hop_i = spmm_bi(adj, fused_u, fused_i)
+    hop_u, hop_i = spmm_bi(adj, fused_u, fused_i, main_segsum)
     final_u = fused_u + hop_u + residual_weight * fused_u
     final_i = fused_i + hop_i + residual_weight * fused_i
 

@@ -137,14 +137,23 @@ def build_bi_adj_device(
     )
 
 
-def spmm_bi(adj, x_user: jax.Array, x_item: jax.Array):
+def spmm_bi(
+    adj,
+    x_user: jax.Array,
+    x_item: jax.Array,
+    mxu_segsum: tuple[bool, bool] = (False, False),
+):
     """``y = D^-1/2 (A + I) D^-1/2 x`` on the split (user, item) embedding pair.
 
     Semantically identical to `torch.sparse.mm(adj, cat([x_u, x_i]))` of
     reference `Model.py:90` with the adjacency of `DataHandler.py:68-93`.
 
     Dispatches on the adjacency form: :class:`DenseBiAdj` -> MXU matmuls,
-    :class:`BiAdj` -> sorted segment_sum reductions.
+    :class:`BiAdj` -> sorted segment reductions. ``mxu_segsum`` selects the
+    one-hot-MXU sorted-segment-sum Pallas kernel per direction (user-major,
+    item-major) — only valid when the HOST has verified the sorted-id chunk
+    spans (ops/pallas/segsum.py::spans_fit); the trainer threads those
+    static flags, everything else defaults to the XLA scatter path.
 
     Returns ``(y_user, y_item)`` with the same shapes as the inputs.
     """
@@ -153,21 +162,36 @@ def spmm_bi(adj, x_user: jax.Array, x_item: jax.Array):
     z_u = x_user * adj.s_user[:, None]
     z_i = x_item * adj.s_item[:, None]
     # item -> user messages (edges already user-major sorted)
-    m_u = jax.ops.segment_sum(
-        z_i.take(adj.ui_cols, axis=0),
-        adj.ui_rows,
-        num_segments=adj.user_num,
-        indices_are_sorted=True,
-    )
+    msgs_u = z_i.take(adj.ui_cols, axis=0)
+    if mxu_segsum[0]:
+        from diffmm_tpu.ops.pallas.segsum import sorted_segment_sum
+
+        # zero the sentinel-pad messages (OOB gathers fill with NaN)
+        msgs_u = jnp.where((adj.ui_rows < adj.user_num)[:, None], msgs_u, 0.0)
+        m_u = sorted_segment_sum(msgs_u, adj.ui_rows, adj.user_num)
+    else:
+        m_u = jax.ops.segment_sum(
+            msgs_u,
+            adj.ui_rows,
+            num_segments=adj.user_num,
+            indices_are_sorted=True,
+        )
     # user -> item messages (re-sorted item-major so the reduce is one-pass)
     iu_rows = adj.ui_cols.take(adj.iu_perm)
     iu_cols = adj.ui_rows.take(adj.iu_perm)
-    m_i = jax.ops.segment_sum(
-        z_u.take(iu_cols, axis=0),
-        iu_rows,
-        num_segments=adj.item_num,
-        indices_are_sorted=True,
-    )
+    msgs_i = z_u.take(iu_cols, axis=0)
+    if mxu_segsum[1]:
+        from diffmm_tpu.ops.pallas.segsum import sorted_segment_sum
+
+        msgs_i = jnp.where((iu_rows < adj.item_num)[:, None], msgs_i, 0.0)
+        m_i = sorted_segment_sum(msgs_i, iu_rows, adj.item_num)
+    else:
+        m_i = jax.ops.segment_sum(
+            msgs_i,
+            iu_rows,
+            num_segments=adj.item_num,
+            indices_are_sorted=True,
+        )
     y_u = adj.s_user[:, None] * (m_u + z_u)
     y_i = adj.s_item[:, None] * (m_i + z_i)
     return y_u, y_i

@@ -1,0 +1,183 @@
+"""Sorted segment-sum on the MXU — the TPU-native SpMM reduction.
+
+XLA lowers `jax.ops.segment_sum` to scatter-adds, which serialize on TPU
+(measured ~30x under HBM bandwidth — DESIGN.md). For *sorted* segment ids —
+exactly what the bipartite edge lists provide in both directions — the
+reduction can instead be computed chunk-by-chunk with a one-hot MXU matmul:
+
+  for each chunk of E consecutive edges (sorted by segment id):
+      local   = seg_ids - seg_ids[0]            # in [0, E): <= E distinct
+                                                #   segments per E sorted edges
+      onehot  = (local[:, None] == iota(E))     # (E, E)
+      partial = onehotᵀ @ msgs_chunk            # (E, d) on the MXU
+      out[seg_ids[0] : seg_ids[0] + E] += partial
+
+The output lives whole in VMEM across the sequential grid, so the dynamic-
+slice accumulation is a cheap on-chip read-modify-write; chunks touching the
+same boundary segment simply accumulate. Applies when `(num_segments, d)`
+fits VMEM — the regime where the dense (U, I) graph form does NOT fit HBM
+but the embedding tables easily fit on-chip (e.g. yelp-scale catalogs).
+
+Padding contract (matches ops/graph.py sentinels): pad edges carry
+seg_id == num_segments and zero messages, so they add nothing wherever the
+clamped slice lands.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _segsum_kernel(rows_ref, msgs_ref, out_ref):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    rows = rows_ref[:, 0]  # (E,) sorted segment ids of this chunk
+    u0 = rows[0]
+    E = rows.shape[0]
+    local = rows - u0  # in [0, E) for real edges; >= E for far-off pads
+    onehot = (
+        local[:, None] == jax.lax.broadcasted_iota(jnp.int32, (E, E), 1)
+    ).astype(jnp.float32)
+    partial = jax.lax.dot_general(
+        onehot,
+        msgs_ref[:, :],
+        (((0,), (0,)), ((), ())),  # onehotᵀ @ msgs -> (E, d)
+        preferred_element_type=jnp.float32,
+    )
+    cur = out_ref[pl.ds(u0, E), :]
+    out_ref[pl.ds(u0, E), :] = cur + partial
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_segments", "chunk", "interpret")
+)
+def _sorted_segment_sum_impl(
+    msgs: jax.Array,
+    seg_ids: jax.Array,
+    num_segments: int,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    nnz, d = msgs.shape
+    nnz_p = _round_up(nnz, chunk)
+    msgs_p = jnp.pad(msgs, ((0, nnz_p - nnz), (0, 0)))
+    ids_p = jnp.pad(
+        seg_ids.astype(jnp.int32), (0, nnz_p - nnz),
+        constant_values=num_segments,
+    ).reshape(nnz_p, 1)
+    # output over-allocated by one chunk so the dynamic slice never clamps
+    # real rows; pad-chunk contributions land in the tail and are dropped
+    out_rows = _round_up(num_segments + chunk, 8)
+
+    out = pl.pallas_call(
+        _segsum_kernel,
+        grid=(nnz_p // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, 1), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d), lambda c: (c, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (out_rows, d), lambda c: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_rows, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nnz_p * chunk * d,
+            bytes_accessed=nnz_p * (d + 1) * 4 + out_rows * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ids_p, msgs_p)
+    return out[:num_segments]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def sorted_segment_sum(
+    msgs: jax.Array,
+    seg_ids: jax.Array,
+    num_segments: int,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """segment_sum for ASCENDING ``seg_ids`` via one-hot MXU matmuls.
+
+    Args:
+      msgs: (nnz, d) f32 messages; rows whose seg_id is out of range MUST be
+        zero (they may still be accumulated into a clamped slice).
+      seg_ids: (nnz,) int32 sorted ascending; out-of-range == padding.
+      num_segments: output rows.
+
+    The VJP is a plain gather (``dmsgs[e] = ḡ[seg_ids[e]]``) — no kernel
+    needed on the backward path.
+    """
+    return _sorted_segment_sum_impl(
+        msgs, seg_ids, num_segments, chunk=chunk, interpret=interpret
+    )
+
+
+def _ssum_fwd(msgs, seg_ids, num_segments, chunk, interpret):
+    out = _sorted_segment_sum_impl(
+        msgs, seg_ids, num_segments, chunk=chunk, interpret=interpret
+    )
+    return out, seg_ids
+
+
+def _ssum_bwd(num_segments, chunk, interpret, seg_ids, g):
+    import numpy as np
+
+    dmsgs = jnp.where(
+        (seg_ids < num_segments)[:, None],
+        g.take(jnp.minimum(seg_ids, num_segments - 1), axis=0),
+        0.0,
+    )
+    d_ids = np.zeros(seg_ids.shape, dtype=jax.dtypes.float0)
+    return dmsgs, d_ids
+
+
+sorted_segment_sum.defvjp(_ssum_fwd, _ssum_bwd)
+
+
+def segsum_fits_vmem(num_segments: int, d: int, chunk: int = 512) -> bool:
+    """VMEM budget: the resident output is allocated TWICE by the Mosaic
+    pipeline (read-modify-write copies — observed scoped-vmem OOM at
+    2x out bytes on v5e, 16 MB scoped limit), plus double-buffered chunk
+    inputs. Net: num_segments <= ~28k rows at d=64."""
+    out_bytes = _round_up(num_segments + chunk, 8) * d * 4
+    chunk_bytes = 2 * chunk * (d * 4 + 4) + chunk * chunk * 4
+    return 2 * out_bytes + 2 * chunk_bytes <= 15 * 1024 * 1024
+
+
+def spans_fit(ids_sorted, num_segments: int, chunk: int = 512) -> bool:
+    """Host-side correctness gate: every fixed [k*chunk, (k+1)*chunk) window
+    of the sorted ids must span < chunk distinct positions (entries with
+    ``id - chunk_first_id >= chunk`` would be dropped by the one-hot window).
+    Run on the exact (padded) id layout the kernel will see; sentinel ids
+    (== num_segments) are exempt — their messages are zeroed by the caller.
+    """
+    import numpy as np
+
+    ids = np.asarray(ids_sorted)
+    n = _round_up(len(ids), chunk)
+    ids = np.concatenate(
+        [ids, np.full(n - len(ids), num_segments, dtype=ids.dtype)]
+    )
+    blocks = ids.reshape(-1, chunk)
+    first = blocks[:, :1]
+    local = blocks - first
+    real = blocks < num_segments
+    return bool((np.where(real, local, 0) < chunk).all())

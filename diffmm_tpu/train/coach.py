@@ -109,8 +109,10 @@ class Coach:
             config.hyper.steps,
         )
         self.edge_buf_len = host.nnz + (-host.nnz % EDGE_ALIGN)
+        self.segsum_flags = self._segsum_gate()
         self.steps = make_train_steps(
-            config, self.schedule, self.n_modal, host.k_max, self.edge_buf_len
+            config, self.schedule, self.n_modal, host.k_max, self.edge_buf_len,
+            segsum_flags=self.segsum_flags,
         )
         self.cum_dcg = dcg_table(config.base.topk)
 
@@ -196,6 +198,37 @@ class Coach:
     def _put_blocks(self, x: jax.Array) -> jax.Array:
         """(n_blocks, batch) epoch input: batch dim over the data axis."""
         return shard_blocks(x, self.mesh) if self.mesh is not None else x
+
+    def _segsum_gate(self) -> tuple[bool, bool]:
+        """Static gates for the MXU sorted-segment-sum on the sparse form:
+        TPU backend, embedding tables fit VMEM, and the HOST-verified chunk
+        spans of the sorted edge ids (ops/pallas/segsum.py docstring).
+        DIFFMM_SEGSUM=xla forces the scatter path."""
+        import os
+
+        if self.dense_graphs or os.environ.get("DIFFMM_SEGSUM") == "xla":
+            return (False, False)
+        if jax.default_backend() in ("cpu",):
+            return (False, False)
+        from diffmm_tpu.data.loader import pad_edges
+        from diffmm_tpu.ops.pallas.segsum import segsum_fits_vmem, spans_fit
+
+        host = self.host
+        d = self.config.base.latdim
+        rows_p, cols_p = pad_edges(
+            host.train_rows, host.train_cols, host.user_num, host.item_num
+        )
+        u_ok = segsum_fits_vmem(host.user_num, d) and spans_fit(
+            rows_p, host.user_num
+        )
+        i_ok = segsum_fits_vmem(host.item_num, d) and spans_fit(
+            np.sort(cols_p), host.item_num
+        )
+        if u_ok or i_ok:
+            self.log.info(
+                f"Sparse SpMM: MXU sorted-segment-sum (user={u_ok}, item={i_ok})"
+            )
+        return (u_ok, i_ok)
 
     def _knn_adjs(self) -> list:
         """Modality graphs from the KNN ablation (static per run — depend

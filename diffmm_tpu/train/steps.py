@@ -54,10 +54,18 @@ def make_train_steps(
     n_modal: int,
     k_max: int,
     edge_buf_len: int,
+    segsum_flags: tuple[bool, bool] = (False, False),
 ) -> TrainSteps:
+    """``segsum_flags = (user_dir_ok, item_dir_ok)``: host-verified gates for
+    the MXU sorted-segment-sum on the sparse graph form. The user direction
+    applies to every graph (rebuilt modality graphs share the train rows);
+    the item direction only to the static main graph (rebuilt item ids are
+    dynamic, so their spans cannot be verified ahead of time)."""
     hyper = config.hyper
     train_cfg = config.train
     tx = make_adam()
+    main_segsum = segsum_flags
+    modal_segsum = (segsum_flags[0], False)
 
     # Denoiser forward for the NO-GRAD reverse-sampling path (phase 2). The
     # fused Pallas kernel has no VJP, so the diffusion-training path always
@@ -225,7 +233,7 @@ def make_train_steps(
         keys = jax.random.split(key, 6)
         for k in range(3):
             if k > 0:
-                ju, ji = spmm_bi(adj, ju, ji)
+                ju, ji = spmm_bi(adj, ju, ji, main_segsum)
             noise_u = jax.random.uniform(keys[2 * k], ju.shape, dtype=ju.dtype)
             noise_i = jax.random.uniform(keys[2 * k + 1], ji.shape, dtype=ji.dtype)
             ju = ju + jnp.sign(ju) * l2_normalize(noise_u, axis=1) * hyper.noise_degree
@@ -269,6 +277,8 @@ def make_train_steps(
                 params, adj, list(modal_adjs), raw_feats,
                 modal_adj_weight=hyper.modal_adj_weight,
                 residual_weight=hyper.residual_weight,
+                main_segsum=main_segsum,
+                modal_segsum=modal_segsum,
             )
             u_e = out.u_final.take(users, axis=0)
             pos_e = out.i_final.take(pos_items, axis=0)
@@ -319,6 +329,8 @@ def make_train_steps(
             gcn_params, adj, list(modal_adjs), raw_feats,
             modal_adj_weight=hyper.modal_adj_weight,
             residual_weight=hyper.residual_weight,
+            main_segsum=main_segsum,
+            modal_segsum=modal_segsum,
         )
         return out.u_final, out.i_final
 

@@ -1,0 +1,61 @@
+"""MXU sorted-segment-sum kernel: parity (interpret mode) + the span gate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffmm_tpu.data.loader import pad_edges
+from diffmm_tpu.ops.pallas.segsum import sorted_segment_sum, spans_fit
+
+
+def test_matches_segment_sum_dense_ids(rng):
+    ids = np.sort(rng.integers(0, 300, 2000)).astype(np.int32)
+    msgs = rng.standard_normal((2000, 16)).astype(np.float32)
+    got = np.asarray(
+        sorted_segment_sum(jnp.asarray(msgs), jnp.asarray(ids), 300, chunk=128,
+                           interpret=True)
+    )
+    want = np.asarray(
+        jax.ops.segment_sum(jnp.asarray(msgs), jnp.asarray(ids), num_segments=300)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sentinel_pads_drop(rng):
+    """EDGE_ALIGN-style sentinel pads (id == num_segments, zero msgs)."""
+    ids = np.concatenate(
+        [np.sort(rng.integers(0, 60, 200)), np.full(56, 60)]
+    ).astype(np.int32)
+    msgs = rng.standard_normal((256, 8)).astype(np.float32)
+    msgs[200:] = 0.0
+    got = np.asarray(
+        sorted_segment_sum(jnp.asarray(msgs), jnp.asarray(ids), 60, chunk=64,
+                           interpret=True)
+    )
+    want = np.asarray(
+        jax.ops.segment_sum(
+            jnp.asarray(msgs[:200]), jnp.asarray(ids[:200]), num_segments=60
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_spans_fit_gate(rng):
+    # dense sorted ids pass
+    dense_ids = np.sort(rng.integers(0, 300, 2048)).astype(np.int32)
+    assert spans_fit(dense_ids, 300, chunk=512)
+    # huge gaps within a chunk fail
+    gap_ids = np.sort(rng.choice(50000, 512, replace=False)).astype(np.int32)
+    assert not spans_fit(gap_ids, 50000, chunk=512)
+    # sentinel tail is exempt
+    ids = np.concatenate([np.sort(rng.integers(0, 100, 700)), np.full(68, 100)])
+    assert spans_fit(ids.astype(np.int32), 100, chunk=256)
+
+
+def test_gate_on_real_shaped_edges(tiny_data):
+    rows_p, cols_p = pad_edges(
+        tiny_data.train_rows, tiny_data.train_cols,
+        tiny_data.user_num, tiny_data.item_num,
+    )
+    assert spans_fit(rows_p, tiny_data.user_num)
+    assert spans_fit(np.sort(cols_p), tiny_data.item_num)
