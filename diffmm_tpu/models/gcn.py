@@ -102,14 +102,14 @@ def gcn_mm(
     raw_feats: list[jax.Array],
     modal_adj_weight: float,
     residual_weight: float,
-    main_segsum: tuple[bool, bool] = (False, False),
-    modal_segsum: tuple[bool, bool] = (False, False),
+    main_segsum: tuple = (None, None),
+    modal_segsum: tuple = (None, None),
 ) -> GCNOutput:
     """Multi-modal graph aggregation (reference `Model.py:60-134`).
 
-    ``main_segsum``/``modal_segsum``: host-verified static flags selecting
-    the MXU sorted-segment-sum per propagation direction on the sparse
-    graph form (see ops/graph.py::spmm_bi); no-ops on the dense form.
+    ``main_segsum``/``modal_segsum``: host-made static plans selecting the
+    MXU sorted-segment-sum per propagation direction on the sparse graph
+    form (see ops/graph.py::spmm_bi); no-ops on the dense form.
     """
     u_embs = params["u_embs"]
     i_embs = params["i_embs"]

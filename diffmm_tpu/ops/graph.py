@@ -58,6 +58,10 @@ class BiAdj(NamedTuple):
     iu_perm: jax.Array
     s_user: jax.Array
     s_item: jax.Array
+    # permutation back to user-major order from item-major order (inverse of
+    # iu_perm up to ties) — used by the MXU-segsum custom VJP to run the
+    # backward reduction sorted as well
+    iu_inv: jax.Array | None = None
 
     @property
     def nnz(self) -> int:
@@ -90,6 +94,8 @@ def build_bi_adj_host(
     rows = np.asarray(rows, dtype=np.int32)[order]
     cols = np.asarray(cols, dtype=np.int32)[order]
     iu_perm = np.argsort(cols, kind="stable").astype(np.int32)
+    iu_inv = np.empty_like(iu_perm)
+    iu_inv[iu_perm] = np.arange(len(iu_perm), dtype=np.int32)
     deg_u = np.bincount(rows, minlength=user_num)[:user_num].astype(np.float64)
     deg_i = np.bincount(cols, minlength=item_num)[:item_num].astype(np.float64)
     s_user = ((deg_u + 1.0) ** -0.5).astype(np.float32)
@@ -100,6 +106,7 @@ def build_bi_adj_host(
         iu_perm=jnp.asarray(iu_perm),
         s_user=jnp.asarray(s_user),
         s_item=jnp.asarray(s_item),
+        iu_inv=jnp.asarray(iu_inv),
     )
 
 
@@ -128,12 +135,14 @@ def build_bi_adj_device(
     s_user = jax.lax.rsqrt(deg_u + 1.0)
     s_item = jax.lax.rsqrt(deg_i + 1.0)
     iu_perm = jnp.argsort(ui_cols).astype(jnp.int32)
+    iu_inv = jnp.argsort(iu_perm).astype(jnp.int32)
     return BiAdj(
         ui_rows=ui_rows.astype(jnp.int32),
         ui_cols=ui_cols.astype(jnp.int32),
         iu_perm=iu_perm,
         s_user=s_user,
         s_item=s_item,
+        iu_inv=iu_inv,
     )
 
 
@@ -141,7 +150,7 @@ def spmm_bi(
     adj,
     x_user: jax.Array,
     x_item: jax.Array,
-    mxu_segsum: tuple[bool, bool] = (False, False),
+    mxu_segsum: tuple = (None, None),
 ):
     """``y = D^-1/2 (A + I) D^-1/2 x`` on the split (user, item) embedding pair.
 
@@ -149,11 +158,11 @@ def spmm_bi(
     reference `Model.py:90` with the adjacency of `DataHandler.py:68-93`.
 
     Dispatches on the adjacency form: :class:`DenseBiAdj` -> MXU matmuls,
-    :class:`BiAdj` -> sorted segment reductions. ``mxu_segsum`` selects the
-    one-hot-MXU sorted-segment-sum Pallas kernel per direction (user-major,
-    item-major) — only valid when the HOST has verified the sorted-id chunk
-    spans (ops/pallas/segsum.py::spans_fit); the trainer threads those
-    static flags, everything else defaults to the XLA scatter path.
+    :class:`BiAdj` -> sorted segment reductions. ``mxu_segsum`` carries an
+    optional HOST-made plan per direction (user-major, item-major) selecting
+    the one-hot-MXU sorted-segment-sum Pallas kernel
+    (ops/pallas/segsum.py::make_segsum_plan, only valid for the static edge
+    layout it was planned on); ``None`` -> the XLA scatter path.
 
     Returns ``(y_user, y_item)`` with the same shapes as the inputs.
     """
@@ -161,33 +170,34 @@ def spmm_bi(
         return _spmm_bi_dense(adj, x_user, x_item)
     z_u = x_user * adj.s_user[:, None]
     z_i = x_item * adj.s_item[:, None]
-    # item -> user messages (edges already user-major sorted)
-    msgs_u = z_i.take(adj.ui_cols, axis=0)
-    if mxu_segsum[0]:
-        from diffmm_tpu.ops.pallas.segsum import sorted_segment_sum
-
-        # zero the sentinel-pad messages (OOB gathers fill with NaN)
-        msgs_u = jnp.where((adj.ui_rows < adj.user_num)[:, None], msgs_u, 0.0)
-        m_u = sorted_segment_sum(msgs_u, adj.ui_rows, adj.user_num)
+    u_plan, i_plan = mxu_segsum
+    if (u_plan is not None or i_plan is not None) and adj.iu_inv is not None:
+        # MXU path with a custom VJP: the backward of the edge gather is
+        # itself a sorted reduction (via the opposite ordering), so no
+        # XLA scatter appears in either pass.
+        iu_rows = adj.ui_cols.take(adj.iu_perm)
+        iu_cols = adj.ui_rows.take(adj.iu_perm)
+        m_u = _propagate_sorted(
+            z_i, adj.ui_rows, adj.ui_cols, adj.iu_perm, iu_rows,
+            adj.user_num, adj.item_num, u_plan, i_plan,
+        )
+        m_i = _propagate_sorted(
+            z_u, iu_rows, iu_cols, adj.iu_inv, adj.ui_rows,
+            adj.item_num, adj.user_num, i_plan, u_plan,
+        )
     else:
+        # item -> user messages (edges already user-major sorted)
         m_u = jax.ops.segment_sum(
-            msgs_u,
+            z_i.take(adj.ui_cols, axis=0),
             adj.ui_rows,
             num_segments=adj.user_num,
             indices_are_sorted=True,
         )
-    # user -> item messages (re-sorted item-major so the reduce is one-pass)
-    iu_rows = adj.ui_cols.take(adj.iu_perm)
-    iu_cols = adj.ui_rows.take(adj.iu_perm)
-    msgs_i = z_u.take(iu_cols, axis=0)
-    if mxu_segsum[1]:
-        from diffmm_tpu.ops.pallas.segsum import sorted_segment_sum
-
-        msgs_i = jnp.where((iu_rows < adj.item_num)[:, None], msgs_i, 0.0)
-        m_i = sorted_segment_sum(msgs_i, iu_rows, adj.item_num)
-    else:
+        # user -> item messages (re-sorted item-major, one-pass reduce)
+        iu_rows = adj.ui_cols.take(adj.iu_perm)
+        iu_cols = adj.ui_rows.take(adj.iu_perm)
         m_i = jax.ops.segment_sum(
-            msgs_i,
+            z_u.take(iu_cols, axis=0),
             iu_rows,
             num_segments=adj.item_num,
             indices_are_sorted=True,
@@ -249,6 +259,61 @@ def build_dense_bi_adj_device(
         mat=mat,
         s_user=jax.lax.rsqrt(deg_u + 1.0),
         s_item=jax.lax.rsqrt(deg_i + 1.0),
+    )
+
+
+def _reduce_sorted(msgs, ids, n, plan):
+    """Sorted segment reduction: host-planned MXU kernel or XLA scatter."""
+    if plan is not None:
+        from diffmm_tpu.ops.pallas.segsum import sorted_segment_sum_planned
+
+        return sorted_segment_sum_planned(msgs, ids, n, plan)
+    return jax.ops.segment_sum(msgs, ids, num_segments=n, indices_are_sorted=True)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _get_propagator(n_out: int, n_src: int, fwd_plan, bwd_plan):
+    """One-direction edge propagation ``y[r] = sum_{rows[e]=r} z[cols[e]]``
+    with a custom VJP: the gather's backward (normally an XLA scatter over
+    nnz rows) is re-expressed as the SAME sorted reduction in the opposite
+    ordering (``dz = reduce(ḡ[rows][perm] by cols-sorted)``), so neither
+    pass contains a scatter when plans exist. Cached per static config so
+    jit retraces reuse one custom_vjp object."""
+    import numpy as onp
+
+    @jax.custom_vjp
+    def prop(z, rows, cols, perm, bwd_rows):
+        msgs = z.take(cols, axis=0)
+        # sentinel pad lanes (rows == n_out) -> zero (OOB gathers fill NaN)
+        msgs = jnp.where((rows < n_out)[:, None], msgs, 0.0)
+        return _reduce_sorted(msgs, rows, n_out, fwd_plan)
+
+    def fwd(z, rows, cols, perm, bwd_rows):
+        return prop(z, rows, cols, perm, bwd_rows), (rows, cols, perm, bwd_rows)
+
+    def bwd(res, g):
+        rows, cols, perm, bwd_rows = res
+        dmsgs = g.take(jnp.clip(rows, 0, n_out - 1), axis=0)
+        dmsgs = jnp.where((rows < n_out)[:, None], dmsgs, 0.0)
+        dmsgs_s = dmsgs.take(perm, axis=0)
+        dmsgs_s = jnp.where((bwd_rows < n_src)[:, None], dmsgs_s, 0.0)
+        dz = _reduce_sorted(dmsgs_s, bwd_rows, n_src, bwd_plan)
+
+        def f0(a):
+            return onp.zeros(a.shape, dtype=jax.dtypes.float0)
+
+        return dz, f0(rows), f0(cols), f0(perm), f0(bwd_rows)
+
+    prop.defvjp(fwd, bwd)
+    return prop
+
+
+def _propagate_sorted(z, rows, cols, perm, bwd_rows, n_out, n_src, fwd_plan, bwd_plan):
+    return _get_propagator(n_out, n_src, fwd_plan, bwd_plan)(
+        z, rows, cols, perm, bwd_rows
     )
 
 

@@ -162,6 +162,79 @@ def segsum_fits_vmem(num_segments: int, d: int, chunk: int = 512) -> bool:
     return 2 * out_bytes + 2 * chunk_bytes <= 15 * 1024 * 1024
 
 
+def max_segments_in_vmem(d: int, chunk: int = 512) -> int:
+    """Largest per-call segment count within the scoped-VMEM budget."""
+    lo, hi = chunk, 10**7
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if segsum_fits_vmem(mid, d, chunk):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def make_segsum_plan(
+    ids_sorted, num_segments: int, d: int, chunk: int = 512
+):
+    """Host-side plan for arbitrarily many segments: split the (STATIC)
+    sorted-id layout into segment ranges that each fit VMEM, with static
+    edge boundaries found by searchsorted. Returns a tuple of
+    ``(edge_lo, edge_hi, seg_lo, seg_hi)`` pieces, or None when any piece
+    fails the chunk-span window check (the kernel would drop entries).
+    Sentinel ids (== num_segments) fall after the last piece and are
+    excluded entirely."""
+    import numpy as np
+
+    ids = np.asarray(ids_sorted)
+    max_rows = max_segments_in_vmem(d, chunk) - chunk  # slack for the window
+    if max_rows <= 0:
+        return None
+    pieces = []
+    for seg_lo in range(0, num_segments, max_rows):
+        seg_hi = min(seg_lo + max_rows, num_segments)
+        edge_lo = int(np.searchsorted(ids, seg_lo, "left"))
+        edge_hi = int(np.searchsorted(ids, seg_hi, "left"))
+        if edge_hi > edge_lo and not spans_fit(
+            ids[edge_lo:edge_hi] - seg_lo, seg_hi - seg_lo, chunk
+        ):
+            return None
+        pieces.append((edge_lo, edge_hi, seg_lo, seg_hi))
+    return tuple(pieces)
+
+
+def sorted_segment_sum_planned(
+    msgs: jax.Array,
+    seg_ids: jax.Array,
+    num_segments: int,
+    plan,
+    chunk: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Apply :func:`sorted_segment_sum` piecewise per a host-made plan
+    (static edge/segment ranges), concatenating the piece outputs.
+
+    ``interpret=None`` resolves at trace time: compiled on TPU, interpreter
+    on CPU (so CPU tests drive the same code path)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    outs = []
+    for edge_lo, edge_hi, seg_lo, seg_hi in plan:
+        if edge_hi == edge_lo:
+            outs.append(jnp.zeros((seg_hi - seg_lo, msgs.shape[1]), msgs.dtype))
+            continue
+        outs.append(
+            sorted_segment_sum(
+                msgs[edge_lo:edge_hi],
+                seg_ids[edge_lo:edge_hi] - seg_lo,
+                seg_hi - seg_lo,
+                chunk,
+                interpret,
+            )
+        )
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
 def spans_fit(ids_sorted, num_segments: int, chunk: int = 512) -> bool:
     """Host-side correctness gate: every fixed [k*chunk, (k+1)*chunk) window
     of the sorted ids must span < chunk distinct positions (entries with

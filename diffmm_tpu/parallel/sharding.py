@@ -80,6 +80,7 @@ def _shard_adj(adj: BiAdj, mesh: Mesh) -> BiAdj:
         iu_perm=jax.device_put(adj.iu_perm, edge),
         s_user=jax.device_put(adj.s_user, rep),
         s_item=jax.device_put(adj.s_item, rep),
+        iu_inv=None if adj.iu_inv is None else jax.device_put(adj.iu_inv, edge),
     )
 
 

@@ -109,10 +109,10 @@ class Coach:
             config.hyper.steps,
         )
         self.edge_buf_len = host.nnz + (-host.nnz % EDGE_ALIGN)
-        self.segsum_flags = self._segsum_gate()
+        self.segsum_plans = self._segsum_gate()
         self.steps = make_train_steps(
             config, self.schedule, self.n_modal, host.k_max, self.edge_buf_len,
-            segsum_flags=self.segsum_flags,
+            segsum_plans=self.segsum_plans,
         )
         self.cum_dcg = dcg_table(config.base.topk)
 
@@ -199,36 +199,37 @@ class Coach:
         """(n_blocks, batch) epoch input: batch dim over the data axis."""
         return shard_blocks(x, self.mesh) if self.mesh is not None else x
 
-    def _segsum_gate(self) -> tuple[bool, bool]:
-        """Static gates for the MXU sorted-segment-sum on the sparse form:
-        TPU backend, embedding tables fit VMEM, and the HOST-verified chunk
-        spans of the sorted edge ids (ops/pallas/segsum.py docstring).
+    def _segsum_gate(self) -> tuple:
+        """Host-made static plans for the MXU sorted-segment-sum on the
+        sparse form: TPU backend + per-piece chunk-span verification on the
+        sorted edge ids (ops/pallas/segsum.py::make_segsum_plan); segment
+        ranges beyond the VMEM budget tile into multiple kernel calls.
         DIFFMM_SEGSUM=xla forces the scatter path."""
         import os
 
         if self.dense_graphs or os.environ.get("DIFFMM_SEGSUM") == "xla":
-            return (False, False)
+            return (None, None)
         if jax.default_backend() in ("cpu",):
-            return (False, False)
+            return (None, None)
         from diffmm_tpu.data.loader import pad_edges
-        from diffmm_tpu.ops.pallas.segsum import segsum_fits_vmem, spans_fit
+        from diffmm_tpu.ops.pallas.segsum import make_segsum_plan
 
         host = self.host
         d = self.config.base.latdim
         rows_p, cols_p = pad_edges(
             host.train_rows, host.train_cols, host.user_num, host.item_num
         )
-        u_ok = segsum_fits_vmem(host.user_num, d) and spans_fit(
-            rows_p, host.user_num
-        )
-        i_ok = segsum_fits_vmem(host.item_num, d) and spans_fit(
-            np.sort(cols_p), host.item_num
-        )
-        if u_ok or i_ok:
+        u_plan = make_segsum_plan(rows_p, host.user_num, d)
+        i_plan = make_segsum_plan(np.sort(cols_p), host.item_num, d)
+        if u_plan or i_plan:
             self.log.info(
-                f"Sparse SpMM: MXU sorted-segment-sum (user={u_ok}, item={i_ok})"
+                "Sparse SpMM: MXU sorted-segment-sum "
+                f"(user={'on' if u_plan else 'off'}"
+                f"{f'/{len(u_plan)} tiles' if u_plan else ''}, "
+                f"item={'on' if i_plan else 'off'}"
+                f"{f'/{len(i_plan)} tiles' if i_plan else ''})"
             )
-        return (u_ok, i_ok)
+        return (u_plan, i_plan)
 
     def _knn_adjs(self) -> list:
         """Modality graphs from the KNN ablation (static per run — depend

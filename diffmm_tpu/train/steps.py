@@ -54,18 +54,18 @@ def make_train_steps(
     n_modal: int,
     k_max: int,
     edge_buf_len: int,
-    segsum_flags: tuple[bool, bool] = (False, False),
+    segsum_plans: tuple = (None, None),
 ) -> TrainSteps:
-    """``segsum_flags = (user_dir_ok, item_dir_ok)``: host-verified gates for
-    the MXU sorted-segment-sum on the sparse graph form. The user direction
-    applies to every graph (rebuilt modality graphs share the train rows);
-    the item direction only to the static main graph (rebuilt item ids are
-    dynamic, so their spans cannot be verified ahead of time)."""
+    """``segsum_plans = (user_dir_plan, item_dir_plan)``: host-made plans for
+    the MXU sorted-segment-sum on the sparse graph form (None = XLA scatter).
+    The user direction applies to every graph (rebuilt modality graphs share
+    the train rows); the item direction only to the static main graph
+    (rebuilt item ids are dynamic, so their layout cannot be planned)."""
     hyper = config.hyper
     train_cfg = config.train
     tx = make_adam()
-    main_segsum = segsum_flags
-    modal_segsum = (segsum_flags[0], False)
+    main_segsum = segsum_plans
+    modal_segsum = (segsum_plans[0], None)
 
     # Denoiser forward for the NO-GRAD reverse-sampling path (phase 2). The
     # fused Pallas kernel has no VJP, so the diffusion-training path always
