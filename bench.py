@@ -24,7 +24,9 @@ FALLBACK_REF_EPOCH_S = None
 
 
 def main() -> int:
-    epochs = int(os.environ.get("BENCH_EPOCHS", "4"))
+    # first epoch is compile; median of the remaining steady epochs smooths
+    # the tunnel's per-dispatch latency variance (observed ~±15%)
+    epochs = int(os.environ.get("BENCH_EPOCHS", "6"))
 
     from diffmm_tpu.config import load_config
     from diffmm_tpu.data.loader import load_host_data
