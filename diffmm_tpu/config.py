@@ -64,6 +64,10 @@ class DataConfig:
     image_feat_dim: int = 0
     text_feat_dim: int = 0
     audio_feat_dim: int = 0
+    # Graceful degradation for unshipped feature blobs: "zeros" (default)
+    # keeps the modality with zero features; "drop" trains without it
+    # (fewer denoisers/graphs); "randn" uses fixed gaussian pseudo-features.
+    missing_modalities: str = "zeros"
 
 
 @dataclass

@@ -85,13 +85,16 @@ def load_interactions(path: str) -> sp.coo_matrix:
     return mat
 
 
-def _synthesize_features(name: str, modality: str, item_num: int) -> np.ndarray:
-    """Stand-in for an unshipped feature blob. ``DIFFMM_SYNTH_MODE``:
-    ``zeros`` (default) makes the modality uninformative so its learned
-    softmax weight can suppress it — measured better on tiktok (Recall@20
-    0.1072 vs 0.1049) than ``randn`` fixed gaussian pseudo-features."""
+def _synthesize_features(
+    name: str, modality: str, item_num: int, mode: str = "zeros"
+) -> np.ndarray:
+    """Stand-in for an unshipped feature blob. ``zeros`` (default) makes the
+    modality uninformative so its learned softmax weight can suppress it —
+    measured better on tiktok (Recall@20 0.1072 vs 0.1049) than ``randn``
+    fixed gaussian pseudo-features. ``DIFFMM_SYNTH_MODE`` overrides."""
     dim = _SYNTH_FEAT_DIMS.get((name, modality), 64)
-    if os.environ.get("DIFFMM_SYNTH_MODE", "zeros") == "zeros":
+    mode = os.environ.get("DIFFMM_SYNTH_MODE", mode)
+    if mode == "zeros":
         return np.zeros((item_num, dim), dtype=np.float32)
     rng = np.random.default_rng(abs(hash((name, modality))) % (2**32))
     return rng.standard_normal((item_num, dim), dtype=np.float32)
@@ -183,9 +186,13 @@ def load_host_data(config: Config, data_root: str | None = None) -> HostData:
     dense = np.zeros((user_num, item_num), dtype=np.int8)
     dense[rows, cols] = 1
 
-    mods = modality_names(name)
-    raw_feats, feat_dims, synthesized = [], [], []
-    for mod in mods:
+    missing_mode = config.data.missing_modalities
+    if missing_mode not in ("zeros", "drop", "randn"):
+        raise ValueError(
+            f"data.missing_modalities must be zeros|drop|randn, got {missing_mode!r}"
+        )
+    mods, raw_feats, feat_dims, synthesized = [], [], [], []
+    for mod in modality_names(name):
         path = os.path.join(data_dir, f"{mod}_feat.npy")
         if os.path.exists(path):
             feats = np.load(path).astype(np.float32)
@@ -193,11 +200,20 @@ def load_host_data(config: Config, data_root: str | None = None) -> HostData:
                 raise ValueError(
                     f"{path}: expected {item_num} rows, got {feats.shape[0]}"
                 )
+        elif missing_mode == "drop":
+            synthesized.append(f"{mod} (dropped)")
+            continue
         else:
-            feats = _synthesize_features(name, mod, item_num)
+            feats = _synthesize_features(name, mod, item_num, missing_mode)
             synthesized.append(mod)
+        mods.append(mod)
         raw_feats.append(feats)
         feat_dims.append(int(feats.shape[1]))
+    if not mods:
+        raise FileNotFoundError(
+            f"{name}: no modality feature blobs found and "
+            "data.missing_modalities='drop' removed them all"
+        )
 
     dim_fields = {"image": "image_feat_dim", "text": "text_feat_dim", "audio": "audio_feat_dim"}
     for mod, dim in zip(mods, feat_dims):

@@ -75,3 +75,29 @@ def test_val_missing_raises(tiny_config, tiny_data):
     coach.train_epoch(0)
     with pytest.raises(ValueError, match="no valMat"):
         coach.test_epoch("val")
+
+
+def test_drop_missing_modalities(tmp_path, monkeypatch):
+    """data.missing_modalities='drop' trains without the unshipped blob."""
+    root = _write_ds(tmp_path, seed=4)
+    import os
+    os.remove(os.path.join(root, "toyset", "text_feat.npy"))
+    monkeypatch.setenv("DIFFMM_DATA_ROOT", root)
+    monkeypatch.setitem(
+        __import__("diffmm_tpu.data.loader", fromlist=["MODALITIES"]).MODALITIES,
+        "toyset",
+        ["image", "text"],
+    )
+    cfg = Config()
+    cfg.data.name = "toyset"
+    cfg.data.missing_modalities = "drop"
+    cfg.base.latdim = 8
+    cfg.base.denoise_dim = "[16]"
+    cfg.train.batch = 16
+    cfg.train.test_batch = 8
+    host = load_host_data(cfg)
+    assert host.modalities == ["image"]
+    assert host.synthesized == ["text (dropped)"]
+    coach = Coach(cfg, host)
+    res = coach.train_epoch(0)
+    assert "text loss" not in res and "image loss" in res
