@@ -103,10 +103,16 @@ def main(argv: list[str] | None = None) -> int:
         f"NDCG: {best['NDCG']:.5f}, Precision: {best['Precision']:.5f}"
     )
     if args.export_index:
-        from diffmm_tpu.eval.serving import build_index, save_index
+        if coach.modal_adjs is None:
+            log.info(
+                "⚠️ no trained epoch completed — skipping --export-index "
+                "(the serving index needs the epoch's modality graphs)"
+            )
+        else:
+            from diffmm_tpu.eval.serving import build_index, save_index
 
-        save_index(build_index(coach), args.export_index)
-        log.info(f"Serving index saved to {args.export_index} 📦")
+            save_index(build_index(coach), args.export_index)
+            log.info(f"Serving index saved to {args.export_index} 📦")
     return 0
 
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import functools
 
+from diffmm_tpu.ops.pallas import round_up as _round_up
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -64,10 +66,6 @@ def _layer2_kernel(h_ref, w2_ref, b2_ref, out_ref):
     )
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 @functools.partial(jax.jit, static_argnames=("tb", "tk", "tn", "interpret"))
 def fused_denoise_mlp(
     x: jax.Array,
@@ -94,12 +92,15 @@ def fused_denoise_mlp(
     H = w1.shape[1]
     N = w2.shape[1]
     Bp, Kp, Np = _round_up(B, tb), _round_up(K, tk), _round_up(N, tn)
+    Hp = _round_up(H, 128)  # lane-align the hidden dim too (tanh(0)=0 pads
+    # contribute nothing through the zero rows of w2p)
 
     xp = jnp.pad(x, ((0, Bp - B), (0, Kp - K)))
-    w1p = jnp.pad(w1, ((0, Kp - K), (0, 0)))
-    tpp = jnp.pad(temb_proj, ((0, Bp - B), (0, 0)))
-    w2p = jnp.pad(w2, ((0, 0), (0, Np - N)))
+    w1p = jnp.pad(w1, ((0, Kp - K), (0, Hp - H)))
+    tpp = jnp.pad(temb_proj, ((0, Bp - B), (0, Hp - H)))
+    w2p = jnp.pad(w2, ((0, Hp - H), (0, Np - N)))
     b2p = jnp.pad(b2, (0, Np - N)).reshape(1, Np)
+    H = Hp
 
     h = pl.pallas_call(
         _layer1_kernel,

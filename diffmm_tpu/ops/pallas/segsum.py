@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import functools
 
+from diffmm_tpu.ops.pallas import round_up as _round_up
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -55,10 +57,6 @@ def _segsum_kernel(rows_ref, msgs_ref, out_ref):
     )
     cur = out_ref[pl.ds(u0, E), :]
     out_ref[pl.ds(u0, E), :] = cur + partial
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 @functools.partial(

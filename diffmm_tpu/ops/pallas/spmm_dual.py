@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import functools
 
+from diffmm_tpu.ops.pallas import round_up as _round_up
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -47,10 +49,6 @@ def _dual_kernel(mat_ref, zi_ref, zu_ref, yu_ref, yi_ref):
         (((0,), (0,)), ((), ())),  # contract the U block dim: (I, d)
         preferred_element_type=jnp.float32,
     )
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 @functools.partial(jax.jit, static_argnames=("tu", "interpret"))

@@ -117,6 +117,9 @@ class Coach:
         self.cum_dcg = dcg_table(config.base.topk)
 
         self.timer = PhaseTimer()
+        # sweeps set this to pass sampling_step as a traced scalar (no
+        # retrace across values); default static for the ==0 fast path
+        self.trace_sampling_step = False
         self.ckpt = None
         if checkpoint_dir is not None:
             from diffmm_tpu.utils.checkpoint import CheckpointManager
@@ -210,6 +213,10 @@ class Coach:
         if self.dense_graphs or os.environ.get("DIFFMM_SEGSUM") == "xla":
             return (None, None)
         if jax.default_backend() in ("cpu",):
+            return (None, None)
+        if self.mesh is not None:
+            # pallas_call has no SPMD partitioning rule for the data-sharded
+            # edge arrays; multi-device sparse runs keep the XLA reductions
             return (None, None)
         from diffmm_tpu.data.loader import pad_edges
         from diffmm_tpu.ops.pallas.segsum import make_segsum_plan
@@ -337,7 +344,11 @@ class Coach:
                 self._put_blocks(valid_seq.reshape(n_reb_blocks, batch)),
                 edge_buffers,
                 jax.random.split(self._next_key(), n_reb_blocks),
-                jnp.int32(cfg.hyper.sampling_step),
+                # static by default so the sampling_step==0 fast path compiles
+                # the q-sample out entirely; sweeps trace it to avoid retraces
+                jnp.int32(cfg.hyper.sampling_step)
+                if self.trace_sampling_step
+                else int(cfg.hyper.sampling_step),
             )
             self.edge_buffers = edge_buffers
             self.modal_adjs = [

@@ -65,7 +65,10 @@ def make_train_steps(
     train_cfg = config.train
     tx = make_adam()
     main_segsum = segsum_plans
-    modal_segsum = (segsum_plans[0], None)
+    # KNN-ablation modality graphs have a user_num*knn_topk edge layout, NOT
+    # the train layout the plans were made for — slicing with train-layout
+    # boundaries would silently drop edges.
+    modal_segsum = (None, None) if hyper.use_knn_adj else (segsum_plans[0], None)
 
     # Denoiser forward for the NO-GRAD reverse-sampling path (phase 2). The
     # fused Pallas kernel has no VJP, so the diffusion-training path always
@@ -81,6 +84,11 @@ def make_train_steps(
     if impl == "pallas":
         if len(config.base.denoise_dims()) != 1:
             raise ValueError("denoiser_impl='pallas' needs a single hidden layer")
+        if jax.default_backend() in ("cpu",):
+            raise ValueError(
+                "denoiser_impl='pallas' needs a TPU backend (the Mosaic "
+                "kernel does not lower on CPU; tests use interpret mode)"
+            )
         from diffmm_tpu.ops.pallas.denoise_mlp import denoise_forward_pallas
 
         sample_apply = denoise_forward_pallas

@@ -7,7 +7,7 @@ user of the reference would reach for, as reproducible commands:
   python tools/dataset_tools.py info <dataset_dir>
   python tools/dataset_tools.py check <dataset_dir>
   python tools/dataset_tools.py build --ui-dict ui.json --out <dir> \
-      [--image-emb f.npy|f.safetensors --text-emb ...] [--val 0.1 --test 0.2]
+      [--image-emb f.safetensors --text-emb ...] [--val 0.1 --test 0.2]
   python tools/dataset_tools.py subsample <dataset_dir> --users N --items M \
       --out <dir>
 """
@@ -35,12 +35,13 @@ def _save_mat(mat: sp.coo_matrix, path: str) -> None:
 
 
 def _load_emb(path: str) -> dict[str, np.ndarray]:
-    """Load item->vector embeddings from .safetensors or a plain .npy."""
+    """Load item->vector embeddings (a keyed .safetensors mapping; a plain
+    .npy array has no item keys to align against the id map)."""
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
         return dict(load_file(path))
-    raise ValueError(f"expected .safetensors mapping for --*-emb, got {path}")
+    raise ValueError(f"expected a .safetensors mapping for --*-emb, got {path}")
 
 
 def cmd_info(args) -> int:

@@ -41,6 +41,7 @@ def main(argv=None) -> int:
     host = load_host_data(config, data_root=args.data_root)
     log = Log("sweep", config.data.name)
     coach = Coach(config, host, log=log)
+    coach.trace_sampling_step = True  # one compile across sweep values
 
     # Most hypers are compile-time constants baked into the jitted phase
     # programs; only runtime-traced knobs can be swept on a reused Coach.
