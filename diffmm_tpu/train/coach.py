@@ -50,7 +50,21 @@ _build_dense_adj_jit = partial(
 # The dense MXU graph form is selected automatically while the bf16
 # interaction blocks for main + modality graphs fit this HBM budget
 # (ops/graph.py DenseBiAdj); beyond it the segment-sum SpMM path is used.
+# The budget is per device: catalog-sharding over the mesh's model axis
+# splits every (U, I) block, so the budget scales with that axis.
 DENSE_GRAPH_BUDGET_BYTES = 4 << 30
+
+
+def choose_graph_form(
+    form: str, n_modal: int, user_num: int, item_num: int, model_parallel: int = 1
+) -> bool:
+    """True -> dense MXU form. ``form``: auto|dense|sparse (validated)."""
+    if form == "auto":
+        bytes_needed = (n_modal + 1) * user_num * item_num * 2
+        return bytes_needed <= DENSE_GRAPH_BUDGET_BYTES * max(model_parallel, 1)
+    if form in ("dense", "sparse"):
+        return form == "dense"
+    raise ValueError(f"train.graph_form must be auto|dense|sparse, got {form!r}")
 
 
 def _pad_blocks(n: int, batch: int) -> tuple[np.ndarray, np.ndarray]:
@@ -82,16 +96,13 @@ class Coach:
         # Graph form: dense MXU matmuls vs segment-sum SpMM (ops/graph.py).
         # Decided before device placement so the (discarded-in-dense-mode)
         # host-side sparse adjacency build is skipped entirely.
-        form = config.train.graph_form
-        if form == "auto":
-            bytes_needed = (self.n_modal + 1) * host.user_num * host.item_num * 2
-            self.dense_graphs = bytes_needed <= DENSE_GRAPH_BUDGET_BYTES
-        elif form in ("dense", "sparse"):
-            self.dense_graphs = form == "dense"
-        else:
-            raise ValueError(
-                f"train.graph_form must be auto|dense|sparse, got {form!r}"
-            )
+        from diffmm_tpu.parallel.mesh import MODEL_AXIS
+
+        model_parallel = mesh.shape[MODEL_AXIS] if mesh is not None else 1
+        self.dense_graphs = choose_graph_form(
+            config.train.graph_form, self.n_modal, host.user_num,
+            host.item_num, model_parallel,
+        )
 
         if device is not None:
             self.data = device

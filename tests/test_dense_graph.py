@@ -70,3 +70,20 @@ def test_auto_picks_dense_for_tiny(tiny_config, tiny_data):
     cfg.train.graph_form = "auto"
     coach = Coach(cfg, tiny_data)
     assert coach.dense_graphs
+
+
+def test_choose_graph_form_scales_with_model_axis():
+    from diffmm_tpu.train.coach import DENSE_GRAPH_BUDGET_BYTES, choose_graph_form
+
+    # a shape just past the single-device budget
+    U = 60000
+    I = (DENSE_GRAPH_BUDGET_BYTES // (3 * U * 2)) + 100
+    assert not choose_graph_form("auto", 2, U, I, model_parallel=1)
+    # catalog-sharding over 4 model-axis devices lifts the budget
+    assert choose_graph_form("auto", 2, U, I, model_parallel=4)
+    assert choose_graph_form("dense", 2, U, I, 1)
+    assert not choose_graph_form("sparse", 2, 10, 10, 8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="auto\\|dense\\|sparse"):
+        choose_graph_form("Dense", 2, 10, 10, 1)
