@@ -28,6 +28,13 @@ def main(argv: list[str] | None = None) -> int:
         help="save/resume full training state here (orbax)",
     )
     parser.add_argument(
+        "--checkpoint-every",
+        type=int,
+        default=10,
+        help="epochs between checkpoint saves (full state is hundreds of MB; "
+        "saving every sub-second epoch dominates wall time)",
+    )
+    parser.add_argument(
         "--mesh",
         default=None,
         metavar="DATAxMODEL",
@@ -92,7 +99,8 @@ def main(argv: list[str] | None = None) -> int:
         log.info(f"Mesh: data={data_sz}, model={model_sz}")
 
     coach = Coach(
-        config, host, log=log, mesh=mesh, checkpoint_dir=args.checkpoint_dir
+        config, host, log=log, mesh=mesh, checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
     )
     from diffmm_tpu.utils.profiling import trace
 

@@ -86,6 +86,7 @@ class Coach:
         log: Log | None = None,
         mesh=None,
         checkpoint_dir: str | None = None,
+        checkpoint_every: int = 10,
     ):
         self.config = config
         self.host = host
@@ -132,6 +133,10 @@ class Coach:
         # retrace across values); default static for the ==0 fast path
         self.trace_sampling_step = False
         self.ckpt = None
+        # Saving the full state (params + Adam moments for every denoiser ≈
+        # hundreds of MB) measurably dominates sub-second epochs — save on an
+        # interval, plus always on the final epoch.
+        self.checkpoint_every = max(1, checkpoint_every)
         if checkpoint_dir is not None:
             from diffmm_tpu.utils.checkpoint import CheckpointManager
 
@@ -608,7 +613,10 @@ class Coach:
                     f"NDCG: {ndcg_max:.5f}({his_max[1]:.5f}), "
                     f"Precision: {precision_max:.5f}({his_max[2]:.5f})"
                 )
-                if self.ckpt is not None:
+                if self.ckpt is not None and (
+                    (epoch + 1) % self.checkpoint_every == 0
+                    or epoch == n_epochs - 1
+                ):
                     self.save_checkpoint(
                         epoch,
                         {
