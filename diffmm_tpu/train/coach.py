@@ -549,9 +549,12 @@ class Coach:
         return best
 
     # ------------------------------------------------------------------- run
-    def make_print(self, name: str, epoch: int, results: dict[str, float]) -> str:
+    def make_print(
+        self, name: str, epoch: int, results: dict[str, float],
+        total: int | None = None,
+    ) -> str:
         """Reference `Main.py:26-33`."""
-        s = f"Epoch {epoch}/{self.config.train.epoch}, {name}: "
+        s = f"Epoch {epoch}/{total or self.config.train.epoch}, {name}: "
         s += ", ".join(f"{k}={v:.5f}" for k, v in results.items())
         return s + "  "
 
@@ -590,7 +593,7 @@ class Coach:
                     raise FloatingPointError(
                         f"training diverged at epoch {epoch}: {result}"
                     )
-                self.log.info(self.make_print("⏩ Train", epoch, result))
+                self.log.info(self.make_print("⏩ Train", epoch, result, n_epochs))
                 self.log.info(
                     f"⏱️ epoch {self.epoch_times[-1]:.2f}s "
                     f"({self.timer.summary()})"
@@ -606,7 +609,7 @@ class Coach:
                         ndcg_max = result["NDCG"]
                         precision_max = result["Precision"]
                         best_epoch = epoch
-                    self.log.info(self.make_print("🧪 Test", epoch, result))
+                    self.log.info(self.make_print("🧪 Test", epoch, result, n_epochs))
                 self.log.info(
                     f"💡 Current best: Epoch: {best_epoch}, "
                     f"Recall: {recall_max:.5f}({his_max[0]:.5f}), "
