@@ -45,7 +45,7 @@ def build_index(coach) -> RecIndex:
     assert coach.modal_adjs is not None, "train (or restore) before serving"
     u_final, i_final = coach.steps.gcn_forward(
         coach.gcn_params, coach.data.adj, tuple(coach.modal_adjs),
-        coach.data.raw_feats,
+        coach.data.raw_feats, coach._hp(),
     )
     return RecIndex(
         u_final=u_final, i_final=i_final, train_dense=coach.data.train_dense

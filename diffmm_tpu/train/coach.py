@@ -210,6 +210,24 @@ class Coach:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _hp(self) -> dict:
+        """Traced hyperparameter scalars for the jitted phase programs —
+        read from config each epoch, so sweeps and mid-run changes never
+        retrace (the structural knobs cl_method/steps/dims stay static)."""
+        h = self.config.hyper
+        f = jnp.float32
+        return {
+            "sim_weight": f(h.sim_weight),
+            "reg": f(self.config.train.reg),
+            "noise_degree": f(h.noise_degree),
+            "cross_cl_temp": f(h.cross_cl_temp),
+            "cross_cl_rate": f(h.cross_cl_rate),
+            "modal_cl_temp": f(h.modal_cl_temp),
+            "modal_cl_rate": f(h.modal_cl_rate),
+            "modal_adj_weight": f(h.modal_adj_weight),
+            "residual_weight": f(h.residual_weight),
+        }
+
     def _put_batch(self, x: jax.Array) -> jax.Array:
         """Split one block's leading dim over the mesh's data axis."""
         return shard_batch(x, self.mesh) if self.mesh is not None else x
@@ -297,6 +315,7 @@ class Coach:
         else:
             lr = cfg.train.lr
         lr = jnp.float32(lr)
+        hp = self._hp()
 
         # Phase 0: negative sampling (reference Main.py:137)
         with self.timer.phase("neg_sampling"):
@@ -328,6 +347,7 @@ class Coach:
                 weight_blocks,
                 jax.random.split(self._next_key(), n_diff_blocks),
                 lr,
+                hp,
             )
             modal_loss_acc = np.asarray(acc)
 
@@ -337,7 +357,7 @@ class Coach:
         if cfg.hyper.use_knn_adj:
             if self.modal_adjs is None:
                 self.modal_adjs = self._knn_adjs()
-            return self._joint_phase(epoch, lr, negs, modal_loss_acc)
+            return self._joint_phase(epoch, lr, negs, modal_loss_acc, hp)
         # same block layout as phase 1 (identical n/batch)
         users_seq = jnp.asarray(idx)
         valid_seq = jnp.asarray(valid)
@@ -371,9 +391,9 @@ class Coach:
                 self._make_adj(data.train_rows, buf) for buf in edge_buffers
             ]
 
-        return self._joint_phase(epoch, lr, negs, modal_loss_acc)
+        return self._joint_phase(epoch, lr, negs, modal_loss_acc, hp)
 
-    def _joint_phase(self, epoch, lr, negs, modal_loss_acc):
+    def _joint_phase(self, epoch, lr, negs, modal_loss_acc, hp):
         cfg = self.config
         data = self.data
         batch = cfg.train.batch
@@ -399,6 +419,7 @@ class Coach:
                 self._put_blocks(neg_ep.reshape(n_joint_blocks, batch)),
                 jax.random.split(self._next_key(), n_joint_blocks),
                 lr,
+                hp,
             )
             joint_acc = np.asarray(acc)
 
@@ -449,7 +470,8 @@ class Coach:
             return {"Recall": 0.0, "NDCG": 0.0, "Precision": 0.0}
         with self.timer.phase("eval"):
             u_final, i_final = self.steps.gcn_forward(
-                self.gcn_params, data.adj, tuple(self.modal_adjs), data.raw_feats
+                self.gcn_params, data.adj, tuple(self.modal_adjs),
+                data.raw_feats, self._hp(),
             )
             n_test = int(e_users.shape[0])
             batch = cfg.train.test_batch

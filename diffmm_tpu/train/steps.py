@@ -14,9 +14,11 @@ three compiled programs, all static-shape:
     cross-layer CL + cross-modal CL, one Adam step on the main model
     (reference `Main.py:291-377`).
 
-All hyperparameters that never change during a run are closed over as Python
-floats (compile-time constants); the LR is a traced scalar so per-epoch cosine
-annealing does not retrace.
+All *scalar* hyperparameters (CL temps/rates, noise_degree, sim_weight, reg,
+fusion weights) are traced through an ``hp`` dict the Coach rebuilds from
+config each epoch — LR schedules, sweeps, and even mid-run hyper changes
+never retrace. Only structural knobs (cl_method, diffusion steps, layer
+dims, graph form) are compile-time constants.
 """
 
 from __future__ import annotations
@@ -98,7 +100,7 @@ def make_train_steps(
         )
 
     # ---------------------------------------------------------------- phase 1
-    def _modal_losses(dn_params_list, gcn_params, raw_feats, x0, weights, key):
+    def _modal_losses(dn_params_list, gcn_params, raw_feats, x0, weights, key, hp):
         feats = [
             jax.lax.stop_gradient(f) for f in project_features(gcn_params, raw_feats)
         ]
@@ -114,14 +116,14 @@ def make_train_steps(
                 i_embs,
                 feats[m],
                 keys[m],
-                sim_weight=hyper.sim_weight,
-                reg=train_cfg.reg,
+                sim_weight=hp["sim_weight"],
+                reg=hp["reg"],
             )
             losses.append(jnp.sum(per_row * weights) / w_sum)
         return losses
 
     def _diffusion_block(dn_params_list, dn_opt_states, gcn_params, raw_feats,
-                         train_dense, users, weights, key, lr):
+                         train_dense, users, weights, key, lr, hp):
         """One optimizer step for every denoiser on one user-row block.
 
         ``users`` indexes rows of the int8 dense train matrix (gathered and
@@ -134,7 +136,7 @@ def make_train_steps(
         x0 = train_dense.take(users, axis=0).astype(jnp.float32)
 
         def loss_fn(dn_list):
-            losses = _modal_losses(dn_list, gcn_params, raw_feats, x0, weights, key)
+            losses = _modal_losses(dn_list, gcn_params, raw_feats, x0, weights, key, hp)
             total = jax.lax.stop_gradient(sum(losses))
             # reference Main.py:174-185: sum of losses / detached total
             return sum(losses) / total, losses
@@ -151,7 +153,7 @@ def make_train_steps(
 
     @jax.jit
     def diffusion_epoch(dn_params_list, dn_opt_states, gcn_params, raw_feats,
-                        train_dense, users_blocks, weight_blocks, keys, lr):
+                        train_dense, users_blocks, weight_blocks, keys, lr, hp):
         """All diffusion blocks of one epoch as a single compiled scan —
         one dispatch instead of one per block. ``users_blocks`` /
         ``weight_blocks`` / ``keys`` carry a leading (n_blocks,) dim.
@@ -166,7 +168,7 @@ def make_train_steps(
             users, weights, key = xs
             dn, states, losses = _diffusion_block(
                 dn, states, gcn_params, raw_feats, train_dense, users, weights,
-                key, lr,
+                key, lr, hp,
             )
             acc = (acc + losses) / jnp.maximum(jnp.sum(losses), 1e-12)
             return (dn, states, acc), None
@@ -229,7 +231,7 @@ def make_train_steps(
         return buffers
 
     # ---------------------------------------------------------------- phase 3
-    def _cross_layer_cl(id_u, id_i, adj: BiAdj, users, pos_items, key):
+    def _cross_layer_cl(id_u, id_i, adj: BiAdj, users, pos_items, key, hp):
         """3-layer noisy propagation + layer-0-vs-mean InfoNCE
         (reference `Main.py:314-334`). ``id_u/id_i`` are the first (pre-noise)
         propagation, reused from the GCN forward — the reference recomputes
@@ -244,19 +246,19 @@ def make_train_steps(
                 ju, ji = spmm_bi(adj, ju, ji, main_segsum)
             noise_u = jax.random.uniform(keys[2 * k], ju.shape, dtype=ju.dtype)
             noise_i = jax.random.uniform(keys[2 * k + 1], ji.shape, dtype=ji.dtype)
-            ju = ju + jnp.sign(ju) * l2_normalize(noise_u, axis=1) * hyper.noise_degree
-            ji = ji + jnp.sign(ji) * l2_normalize(noise_i, axis=1) * hyper.noise_degree
+            ju = ju + jnp.sign(ju) * l2_normalize(noise_u, axis=1) * hp["noise_degree"]
+            ji = ji + jnp.sign(ji) * l2_normalize(noise_i, axis=1) * hp["noise_degree"]
             acc_u = acc_u + ju
             acc_i = acc_i + ji
             if k == 0:
                 layer0_u, layer0_i = ju, ji
         mean_u, mean_i = acc_u / 3.0, acc_i / 3.0
         return (
-            info_nce(mean_u, layer0_u, users, hyper.cross_cl_temp)
-            + info_nce(mean_i, layer0_i, pos_items, hyper.cross_cl_temp)
-        ) * hyper.cross_cl_rate
+            info_nce(mean_u, layer0_u, users, hp["cross_cl_temp"])
+            + info_nce(mean_i, layer0_i, pos_items, hp["cross_cl_temp"])
+        ) * hp["cross_cl_rate"]
 
-    def _modal_cl(out, users, pos_items):
+    def _modal_cl(out, users, pos_items, hp):
         """Cross-modal CL per cl_method (reference `Main.py:339-368`).
 
         cl_method == 1: pairwise modality-vs-modality; else every modality
@@ -267,24 +269,24 @@ def make_train_steps(
             for a in range(n_modal):
                 for b in range(a + 1, n_modal):
                     loss += (
-                        info_nce(out.modal_u[a], out.modal_u[b], users, hyper.modal_cl_temp)
-                        + info_nce(out.modal_i[a], out.modal_i[b], pos_items, hyper.modal_cl_temp)
-                    ) * hyper.modal_cl_rate
+                        info_nce(out.modal_u[a], out.modal_u[b], users, hp["modal_cl_temp"])
+                        + info_nce(out.modal_i[a], out.modal_i[b], pos_items, hp["modal_cl_temp"])
+                    ) * hp["modal_cl_rate"]
         else:
             for m in range(n_modal):
                 loss += (
-                    info_nce(out.u_final, out.modal_u[m], users, hyper.modal_cl_temp)
-                    + info_nce(out.i_final, out.modal_i[m], pos_items, hyper.modal_cl_temp)
-                ) * hyper.modal_cl_rate
+                    info_nce(out.u_final, out.modal_u[m], users, hp["modal_cl_temp"])
+                    + info_nce(out.i_final, out.modal_i[m], pos_items, hp["modal_cl_temp"])
+                ) * hp["modal_cl_rate"]
         return loss
 
     def _joint_block(gcn_params, opt_state, adj, modal_adjs, raw_feats,
-                     users, pos_items, neg_items, key, lr):
+                     users, pos_items, neg_items, key, lr, hp):
         def loss_fn(params):
             out = gcn_mm(
                 params, adj, list(modal_adjs), raw_feats,
-                modal_adj_weight=hyper.modal_adj_weight,
-                residual_weight=hyper.residual_weight,
+                modal_adj_weight=hp["modal_adj_weight"],
+                residual_weight=hp["residual_weight"],
                 main_segsum=main_segsum,
                 modal_segsum=modal_segsum,
             )
@@ -292,9 +294,9 @@ def make_train_steps(
             pos_e = out.i_final.take(pos_items, axis=0)
             neg_e = out.i_final.take(neg_items, axis=0)
             rec = bpr_loss(u_e, pos_e, neg_e)
-            reg = l2_reg_loss(train_cfg.reg, [params["u_embs"], params["i_embs"]])
-            cl = _cross_layer_cl(out.id_u, out.id_i, adj, users, pos_items, key)
-            cl = cl + _modal_cl(out, users, pos_items)
+            reg = l2_reg_loss(hp["reg"], [params["u_embs"], params["i_embs"]])
+            cl = _cross_layer_cl(out.id_u, out.id_i, adj, users, pos_items, key, hp)
+            cl = cl + _modal_cl(out, users, pos_items, hp)
             total = rec + reg + cl
             return total, (rec, reg, cl)
 
@@ -309,7 +311,7 @@ def make_train_steps(
 
     @jax.jit
     def joint_epoch(gcn_params, opt_state, adj, modal_adjs, raw_feats,
-                    users_blocks, pos_blocks, neg_blocks, keys, lr):
+                    users_blocks, pos_blocks, neg_blocks, keys, lr, hp):
         """All joint-training blocks of one epoch as a single compiled scan;
         returns the summed metric vector (Loss/BPR/reg/CL)."""
 
@@ -318,7 +320,7 @@ def make_train_steps(
             users, pos, neg, key = xs
             params, state, metrics = _joint_block(
                 params, state, adj, modal_adjs, raw_feats, users, pos, neg,
-                key, lr,
+                key, lr, hp,
             )
             return (params, state, acc + metrics), None
 
@@ -332,11 +334,11 @@ def make_train_steps(
 
     # ------------------------------------------------------------------ eval
     @jax.jit
-    def gcn_forward(gcn_params, adj, modal_adjs, raw_feats):
+    def gcn_forward(gcn_params, adj, modal_adjs, raw_feats, hp):
         out = gcn_mm(
             gcn_params, adj, list(modal_adjs), raw_feats,
-            modal_adj_weight=hyper.modal_adj_weight,
-            residual_weight=hyper.residual_weight,
+            modal_adj_weight=hp["modal_adj_weight"],
+            residual_weight=hp["residual_weight"],
             main_segsum=main_segsum,
             modal_segsum=modal_segsum,
         )

@@ -150,6 +150,17 @@ def test_joint_loss_and_grads_match_torch(tiny_config, tiny_data, cl_method):
         return rec + reg, out
 
     # run through the actual jitted joint step to extract loss pieces
+    hp = {
+        "sim_weight": jnp.float32(cfg.hyper.sim_weight),
+        "reg": jnp.float32(cfg.train.reg),
+        "noise_degree": jnp.float32(cfg.hyper.noise_degree),
+        "cross_cl_temp": jnp.float32(cfg.hyper.cross_cl_temp),
+        "cross_cl_rate": jnp.float32(cfg.hyper.cross_cl_rate),
+        "modal_cl_temp": jnp.float32(cfg.hyper.modal_cl_temp),
+        "modal_cl_rate": jnp.float32(cfg.hyper.modal_cl_rate),
+        "modal_adj_weight": jnp.float32(cfg.hyper.modal_adj_weight),
+        "residual_weight": jnp.float32(cfg.hyper.residual_weight),
+    }
     tx_params, _, metrics = steps.joint_step(
         params,
         __import__("optax").scale_by_adam().init(params),
@@ -161,6 +172,7 @@ def test_joint_loss_and_grads_match_torch(tiny_config, tiny_data, cl_method):
         neg,
         jax.random.PRNGKey(0),
         jnp.float32(0.0),  # lr=0 -> params unchanged; we read the loss only
+        hp,
     )
     total_jax = float(metrics[0])
 

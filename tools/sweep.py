@@ -43,10 +43,16 @@ def main(argv=None) -> int:
     coach = Coach(config, host, log=log)
     coach.trace_sampling_step = True  # one compile across sweep values
 
-    # Most hypers are compile-time constants baked into the jitted phase
-    # programs; only runtime-traced knobs can be swept on a reused Coach.
-    # "seed" re-initializes via Coach.reset — also recompile-free.
-    DYNAMIC_SAFE = {"sampling_step", "seed"}
+    # All scalar hypers are traced into the jitted phase programs (read from
+    # config each epoch), so sweeping them on a reused Coach is recompile-
+    # free; "seed" re-initializes via Coach.reset. Only structural knobs
+    # (cl_method, steps, denoise_dim, latdim, graph_form, ...) need a fresh
+    # process.
+    DYNAMIC_SAFE = {
+        "sampling_step", "seed", "sim_weight", "noise_degree",
+        "cross_cl_temp", "cross_cl_rate", "modal_cl_temp", "modal_cl_rate",
+        "modal_adj_weight", "residual_weight",
+    }
     if args.param not in DYNAMIC_SAFE:
         raise SystemExit(
             f"--param {args.param} is a compile-time constant; sweeping it on "
