@@ -12,7 +12,10 @@ Dataflow of ``gcn_mm`` (reference `Model.py:84-132`):
   4. ``aware_m = id_prop + modal_adj_weight * modal_view_m``;
   5. fuse with learned softmax modality weights;
   6. final hop + residual:
-     ``final = fused + A@fused + residual_weight * fused`` (`Model.py:129-131`).
+     ``final = (1 + residual_weight) * (fused + A@fused)`` (`Model.py:129-131`;
+     the reference's ``final_embs = modal_embs; final_embs += ...`` chain
+     ALIASES ``modal_embs``, so the second in-place ``+= rw * modal_embs``
+     reads the already-updated ``fused + A@fused``, not the original fused).
 """
 
 from __future__ import annotations
@@ -135,8 +138,10 @@ def gcn_mm(
     fused_i = jnp.einsum("m,mid->id", weight, aware_i)
 
     hop_u, hop_i = spmm_bi(adj, fused_u, fused_i, main_segsum)
-    final_u = fused_u + hop_u + residual_weight * fused_u
-    final_i = fused_i + hop_i + residual_weight * fused_i
+    # Reference `Model.py:129-131` with torch in-place aliasing semantics:
+    # final = (1 + rw) * (fused + A@fused).
+    final_u = (1.0 + residual_weight) * (fused_u + hop_u)
+    final_i = (1.0 + residual_weight) * (fused_i + hop_i)
 
     return GCNOutput(
         u_final=final_u, i_final=final_i, modal_u=modal_u, modal_i=modal_i,

@@ -52,9 +52,15 @@ def _torch_joint_loss(params_np, adj_np, modal_adj_np, feats_np, users, pos, neg
     aware_i = [id_i + hyper["modal_adj_weight"] * mi for mi in modal_i]
     fused_u = sum(w * au for w, au in zip(weight, aware_u))
     fused_i = sum(w * ai for w, ai in zip(weight, aware_i))
-    hop = adj @ torch.cat([fused_u, fused_i], dim=0)
-    final_u = fused_u + hop[:U] + hyper["residual_weight"] * fused_u
-    final_i = fused_i + hop[U:] + hyper["residual_weight"] * fused_i
+    # Reference `Model.py:129-131`: ``final_embs = modal_embs`` ALIASES, then
+    # two in-place ``+=`` — the second reads the already-updated tensor, so
+    # final = (1 + residual_weight) * (fused + adj @ fused). Derived from the
+    # reference lines (executed with aliasing), not from the repo's formula.
+    fused = torch.cat([fused_u, fused_i], dim=0)
+    final = fused.clone()
+    final += adj @ fused.clone()          # fused is the pre-update value here
+    final += hyper["residual_weight"] * final.clone()  # reads updated value
+    final_u, final_i = final[:U], final[U:]
 
     ue, pe, ne = final_u[users], final_i[pos], final_i[neg]
     rec = -torch.log(
