@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import warnings
 from dataclasses import dataclass, field
 from typing import NamedTuple
 
@@ -91,9 +92,8 @@ def _synthesize_features(
     """Stand-in for an unshipped feature blob. ``zeros`` (default) makes the
     modality uninformative so its learned softmax weight can suppress it —
     measured better on tiktok (Recall@20 0.1072 vs 0.1049) than ``randn``
-    fixed gaussian pseudo-features. ``DIFFMM_SYNTH_MODE`` overrides."""
+    fixed gaussian pseudo-features."""
     dim = _SYNTH_FEAT_DIMS.get((name, modality), 64)
-    mode = os.environ.get("DIFFMM_SYNTH_MODE", mode)
     if mode == "zeros":
         return np.zeros((item_num, dim), dtype=np.float32)
     rng = np.random.default_rng(abs(hash((name, modality))) % (2**32))
@@ -187,6 +187,16 @@ def load_host_data(config: Config, data_root: str | None = None) -> HostData:
     dense[rows, cols] = 1
 
     missing_mode = config.data.missing_modalities
+    env_mode = os.environ.get("DIFFMM_SYNTH_MODE")
+    if env_mode and env_mode != missing_mode:
+        # loud, not silent: the run's synthesized features differ from what
+        # the config records (sweep harnesses set this for A/B probes)
+        warnings.warn(
+            f"DIFFMM_SYNTH_MODE={env_mode!r} overrides "
+            f"data.missing_modalities={missing_mode!r}",
+            stacklevel=2,
+        )
+        missing_mode = env_mode
     if missing_mode not in ("zeros", "drop", "randn"):
         raise ValueError(
             f"data.missing_modalities must be zeros|drop|randn, got {missing_mode!r}"

@@ -137,9 +137,11 @@ def generate_view(
     noise, then run the full ``steps-1 .. 0`` posterior-mean loop (the loop
     always covers all steps regardless of ``sampling_step``, `Model.py:316`).
 
-    ``sampling_step`` may be a Python int (static fast path: the q-sample is
-    compiled out when 0) or a traced scalar (dynamic path: lets experiment
-    sweeps change it without recompiling — tools/sweep.py).
+    ``sampling_step`` may be a Python int (only when called eagerly or with a
+    static argument — the q-sample is compiled out when 0) or a traced scalar
+    (the jitted epoch programs always pass a traced one, so sweeps change it
+    without recompiling; the ``where`` select costs nothing next to the
+    denoiser MLP calls).
     """
     batch = x_start.shape[0]
     if isinstance(sampling_step, int):

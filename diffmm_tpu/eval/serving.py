@@ -26,10 +26,9 @@ class RecIndex(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("k", "mask_seen"))
-def recommend(
-    index: RecIndex, users: jax.Array, k: int, mask_seen: bool = True
+def _recommend_compiled(
+    index: RecIndex, users: jax.Array, k: int, mask_seen: bool
 ) -> tuple[jax.Array, jax.Array]:
-    """Top-``k`` items (ids, scores) for a batch of user ids."""
     u = index.u_final.take(users, axis=0)  # (B, d)
     scores = u @ index.i_final.T  # (B, I)
     if mask_seen:
@@ -37,6 +36,25 @@ def recommend(
         scores = scores * (1.0 - mask) - mask * 1e8
     top_scores, top_ids = jax.lax.top_k(scores, k)
     return top_ids, top_scores
+
+
+def recommend(
+    index: RecIndex, users: jax.Array, k: int, mask_seen: bool = True
+) -> tuple[jax.Array, jax.Array]:
+    """Top-``k`` items (ids, scores) for a batch of user ids.
+
+    ``k`` is validated and rounded up to the next power of two for the
+    compiled top-k, then sliced back — a long-lived server fed
+    client-supplied ``k`` values compiles at most ``log2(item_num)``
+    variants per ``mask_seen`` instead of one per distinct ``k``.
+    """
+    item_num = int(index.i_final.shape[0])
+    k = int(k)
+    if not 1 <= k <= item_num:
+        raise ValueError(f"k must be in [1, {item_num}], got {k}")
+    k_pad = min(1 << (k - 1).bit_length(), item_num)
+    top_ids, top_scores = _recommend_compiled(index, users, k_pad, bool(mask_seen))
+    return top_ids[:, :k], top_scores[:, :k]
 
 
 def build_index(coach) -> RecIndex:

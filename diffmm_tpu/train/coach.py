@@ -129,9 +129,6 @@ class Coach:
         self.cum_dcg = dcg_table(config.base.topk)
 
         self.timer = PhaseTimer()
-        # sweeps set this to pass sampling_step as a traced scalar (no
-        # retrace across values); default static for the ==0 fast path
-        self.trace_sampling_step = False
         self.ckpt = None
         # Saving the full state (params + Adam moments for every denoiser ≈
         # hundreds of MB) measurably dominates sub-second epochs — save on an
@@ -380,11 +377,10 @@ class Coach:
                 self._put_blocks(valid_seq.reshape(n_reb_blocks, batch)),
                 edge_buffers,
                 jax.random.split(self._next_key(), n_reb_blocks),
-                # static by default so the sampling_step==0 fast path compiles
-                # the q-sample out entirely; sweeps trace it to avoid retraces
-                jnp.int32(cfg.hyper.sampling_step)
-                if self.trace_sampling_step
-                else int(cfg.hyper.sampling_step),
+                # traced scalar: sweeps change it without a retrace; inside
+                # the jitted program the dynamic q_sample+where path runs
+                # regardless (its cost is noise next to the denoiser MLPs)
+                jnp.int32(cfg.hyper.sampling_step),
             )
             self.edge_buffers = edge_buffers
             self.modal_adjs = [

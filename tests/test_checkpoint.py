@@ -43,7 +43,9 @@ def test_resume_matches_uninterrupted(cfg, tiny_data, tmp_path):
     # rebuilt modality graphs identical (compare the checkpointed buffers)
     for a, b in zip(full.edge_buffers, second.edge_buffers):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert best["Recall"] == pytest.approx(full.test_epoch()["Recall"], abs=1e-6) or True
+    # (best-Recall vs final-eval comparison intentionally omitted: "best"
+    # tracks the max over epochs, which need not equal the final epoch's
+    # Recall; exact resume is already proven by the param/buffer asserts.)
 
 
 def test_knn_ablation_checkpoint_roundtrip(cfg, tiny_data, tmp_path):

@@ -41,7 +41,6 @@ def main(argv=None) -> int:
     host = load_host_data(config, data_root=args.data_root)
     log = Log("sweep", config.data.name)
     coach = Coach(config, host, log=log)
-    coach.trace_sampling_step = True  # one compile across sweep values
 
     # All scalar hypers are traced into the jitted phase programs (read from
     # config each epoch), so sweeping them on a reused Coach is recompile-
