@@ -21,6 +21,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from diffmm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 class EvalBatchSums(NamedTuple):
@@ -35,6 +39,94 @@ def dcg_table(topk: int) -> jax.Array:
     return jnp.asarray(
         np.concatenate([[0.0], np.cumsum(gains)]).astype(np.float32)
     )
+
+
+def _plain_score_topk(u, i_final, train_dense, users, topk):
+    """Replicated scoring: mask train items, full-row top-k
+    (reference `Main.py:403-411`)."""
+    mask = train_dense.take(users, axis=0).astype(jnp.float32)
+    scores = (u @ i_final.T) * (1.0 - mask) - mask * 1e8
+    return jax.lax.top_k(scores, topk)[1]
+
+
+def make_score_topk(topk: int, mesh: Mesh | None = None):
+    """Build ``(u, i_final, train_dense, users) -> (B, topk) global ids``.
+
+    Without a mesh (or with a trivial model axis) this is the replicated
+    full-catalog scoring above. On a mesh with model_parallel > 1 it is the
+    explicit distributed top-k (SURVEY.md §2.3): inside a ``shard_map`` over
+    the (data, model) grid each device scores its user block against ONLY its
+    catalog shard — (B/dm, I/m), never a replicated (B, I) — takes a local
+    ``top_k(k)``, offsets local ids to global, and an ``all_gather`` over the
+    model axis merges the m·k candidates per user with one final small
+    ``top_k``. The top-k of the union of per-shard top-ks equals the global
+    top-k, so this is exact (candidate ties at the -1e8 mask floor can
+    reorder, but masked = train items, which are never test items).
+    """
+    if mesh is None or mesh.shape[MODEL_AXIS] == 1:
+        return lambda u, i_final, train_dense, users: _plain_score_topk(
+            u, i_final, train_dense, users, topk
+        )
+    m = mesh.shape[MODEL_AXIS]
+
+    def sharded(u, i_final, train_dense, users):
+        item_num = i_final.shape[0]
+        if item_num % m or topk > item_num // m:
+            # catalog not evenly divisible (or shards thinner than k):
+            # fall back to the replicated form rather than pad
+            return _plain_score_topk(u, i_final, train_dense, users, topk)
+        width = item_num // m
+
+        def local(u_blk, i_loc, dense_loc, users_blk):
+            mask = dense_loc.take(users_blk, axis=0).astype(jnp.float32)
+            s = (u_blk @ i_loc.T) * (1.0 - mask) - mask * 1e8
+            vals, idx = jax.lax.top_k(s, topk)  # (B/dm, k) local
+            gidx = idx + jax.lax.axis_index(MODEL_AXIS) * width
+            vals_all = jax.lax.all_gather(vals, MODEL_AXIS, axis=1, tiled=True)
+            gidx_all = jax.lax.all_gather(gidx, MODEL_AXIS, axis=1, tiled=True)
+            _, sel = jax.lax.top_k(vals_all, topk)  # merge m*k candidates
+            return jnp.take_along_axis(gidx_all, sel, axis=1)
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(DATA_AXIS, None),      # u: user block rows over data
+                P(MODEL_AXIS, None),     # i_final: catalog rows over model
+                P(None, MODEL_AXIS),     # train_dense: catalog cols over model
+                P(DATA_AXIS),            # users
+            ),
+            out_specs=P(DATA_AXIS, None),
+            check_rep=False,
+        )(u, i_final, train_dense, users)
+
+    return sharded
+
+
+def _metric_sums(
+    top_idx: jax.Array,
+    valid: jax.Array,
+    test_items: jax.Array,
+    test_counts: jax.Array,
+    cum_dcg: jax.Array,
+    topk: int,
+) -> EvalBatchSums:
+    """Recall/NDCG/Precision sums from the global top-k ids
+    (reference `Main.py:422-448` vectorized; see module docstring)."""
+    match = (test_items[:, :, None] == top_idx[:, None, :]) & (
+        test_items[:, :, None] >= 0
+    )
+    hits = jnp.sum(match.any(axis=2), axis=1).astype(jnp.float32)  # (B,)
+    slot_gain = 1.0 / jnp.log2(jnp.arange(topk, dtype=jnp.float32) + 2.0)
+    dcg = jnp.sum(match.astype(jnp.float32) * slot_gain[None, None, :], axis=(1, 2))
+
+    counts = test_counts.astype(jnp.float32)
+    max_dcg = cum_dcg[jnp.minimum(test_counts, topk)]
+    w = valid.astype(jnp.float32)
+    recall = jnp.sum(w * hits / jnp.maximum(counts, 1.0))
+    ndcg = jnp.sum(w * dcg / jnp.maximum(max_dcg, 1e-12))
+    precision = jnp.sum(w * hits / topk)
+    return EvalBatchSums(recall=recall, ndcg=ndcg, precision=precision)
 
 
 @partial(jax.jit, static_argnames=("topk",))
@@ -63,26 +155,9 @@ def eval_batch(
       cum_dcg: (topk+1,) ideal-DCG cumulative table from :func:`dcg_table`.
       topk: K.
     """
-    train_mask_rows = train_dense.take(users, axis=0).astype(jnp.float32)
     u = u_final.take(users, axis=0)  # (B, d)
-    scores = (u @ i_final.T) * (1.0 - train_mask_rows) - train_mask_rows * 1e8
-    _, top_idx = jax.lax.top_k(scores, topk)  # (B, K)
-
-    # membership: (B, maxT, K)
-    match = (test_items[:, :, None] == top_idx[:, None, :]) & (
-        test_items[:, :, None] >= 0
-    )
-    hits = jnp.sum(match.any(axis=2), axis=1).astype(jnp.float32)  # (B,)
-    slot_gain = 1.0 / jnp.log2(jnp.arange(topk, dtype=jnp.float32) + 2.0)
-    dcg = jnp.sum(match.astype(jnp.float32) * slot_gain[None, None, :], axis=(1, 2))
-
-    counts = test_counts.astype(jnp.float32)
-    max_dcg = cum_dcg[jnp.minimum(test_counts, topk)]
-    w = valid.astype(jnp.float32)
-    recall = jnp.sum(w * hits / jnp.maximum(counts, 1.0))
-    ndcg = jnp.sum(w * dcg / jnp.maximum(max_dcg, 1e-12))
-    precision = jnp.sum(w * hits / topk)
-    return EvalBatchSums(recall=recall, ndcg=ndcg, precision=precision)
+    top_idx = _plain_score_topk(u, i_final, train_dense, users, topk)
+    return _metric_sums(top_idx, valid, test_items, test_counts, cum_dcg, topk)
 
 
 @partial(jax.jit, static_argnames=("topk",))
@@ -113,3 +188,34 @@ def eval_epoch(
         body, acc0, (users_blocks, valid_blocks, items_blocks, counts_blocks)
     )
     return acc
+
+
+def make_eval_epoch(topk: int, mesh: Mesh | None = None):
+    """Build the jitted all-blocks eval program for a fixed topk/mesh.
+
+    Same contract as :func:`eval_epoch` minus the trailing ``topk`` arg; on a
+    mesh with model_parallel > 1 the per-block scoring goes through the
+    distributed top-k of :func:`make_score_topk`, so no replicated (B, I)
+    score matrix ever materializes."""
+    score_topk = make_score_topk(topk, mesh)
+
+    @jax.jit
+    def run(
+        u_final, i_final, users_blocks, valid_blocks, train_dense,
+        items_blocks, counts_blocks, cum_dcg,
+    ):
+        def body(acc, xs):
+            users, valid, t_items, t_counts = xs
+            top_idx = score_topk(
+                u_final.take(users, axis=0), i_final, train_dense, users
+            )
+            out = _metric_sums(top_idx, valid, t_items, t_counts, cum_dcg, topk)
+            return acc + jnp.stack(out), None
+
+        acc0 = jnp.zeros((3,), dtype=jnp.float32)
+        acc, _ = jax.lax.scan(
+            body, acc0, (users_blocks, valid_blocks, items_blocks, counts_blocks)
+        )
+        return acc
+
+    return run

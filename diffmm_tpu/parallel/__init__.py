@@ -17,10 +17,13 @@ from diffmm_tpu.parallel.sharding import (
     catalog_sharded,
     check_batch_divisibility,
     data_sharded,
+    denoise_param_shardings,
+    gcn_param_shardings,
     replicate,
     replicated,
     shard_batch,
     shard_device_data,
+    shard_model_params,
 )
 
 __all__ = [
@@ -31,8 +34,11 @@ __all__ = [
     "catalog_sharded",
     "check_batch_divisibility",
     "data_sharded",
+    "denoise_param_shardings",
+    "gcn_param_shardings",
     "replicate",
     "replicated",
     "shard_batch",
     "shard_device_data",
+    "shard_model_params",
 ]

@@ -48,6 +48,14 @@ def catalog_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, MODEL_AXIS))
 
 
+def catalog_sharded_or_replicated(x: jax.Array, mesh: Mesh) -> NamedSharding:
+    """Catalog-shard the last dim when it divides the model axis, else
+    replicate (JAX rejects uneven ``device_put`` shardings)."""
+    if x.shape[-1] % mesh.shape[MODEL_AXIS] == 0:
+        return catalog_sharded(mesh)
+    return replicated(mesh)
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Place an arbitrary pytree fully replicated on the mesh."""
     sharding = replicated(mesh)
@@ -94,7 +102,9 @@ def shard_device_data(data: DeviceData, mesh: Mesh) -> DeviceData:
         train_cols=jax.device_put(data.train_cols, edge),
         user_degrees=jax.device_put(data.user_degrees, rep),
         csr_offsets=jax.device_put(data.csr_offsets, rep),
-        train_dense=jax.device_put(data.train_dense, catalog_sharded(mesh)),
+        train_dense=jax.device_put(
+            data.train_dense, catalog_sharded_or_replicated(data.train_dense, mesh)
+        ),
         raw_feats=[jax.device_put(f, rep) for f in data.raw_feats],
         test_users=jax.device_put(data.test_users, rep),
         test_items=jax.device_put(data.test_items, rep),
@@ -103,6 +113,79 @@ def shard_device_data(data: DeviceData, mesh: Mesh) -> DeviceData:
         val_items=None if data.val_items is None else jax.device_put(data.val_items, rep),
         val_counts=None if data.val_counts is None else jax.device_put(data.val_counts, rep),
     )
+
+
+def _model_axis(mesh: Mesh) -> int:
+    return mesh.shape[MODEL_AXIS]
+
+
+def gcn_param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for the GCN params (same structure).
+
+    ``i_embs`` (item_num, latdim) is the catalog-dim parameter (SURVEY.md
+    §2.3; reference `Model.py:22` keeps it on one GPU) — its rows ride the
+    model axis so parameter + optimizer-moment memory scales with the axis.
+    Everything else is O(N·latdim) or smaller and stays replicated. Leaves
+    whose catalog dim does not divide the axis stay replicated (uneven
+    `device_put` shardings are rejected by JAX).
+    """
+    rep = replicated(mesh)
+    sh = jax.tree.map(lambda _: rep, params)
+    m = _model_axis(mesh)
+    if params["i_embs"].shape[0] % m == 0:
+        sh["i_embs"] = NamedSharding(mesh, P(MODEL_AXIS, None))
+    return sh
+
+
+def denoise_param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for one denoiser's params (same structure).
+
+    The wide layers are the SURVEY §2.3 model-parallel targets (reference
+    `Model.py:156-162`): the first in-layer's weight has item_num+d_emb input
+    rows and the last out-layer maps hidden -> item_num. Sharding them puts
+    the O(item_num·hidden) parameters — by far the largest in the model —
+    on the model axis; XLA turns the forward matmuls into a contracting-dim
+    psum (in-layer) and an output-sharded matmul (out-layer).
+    """
+    rep = replicated(mesh)
+    sh = jax.tree.map(lambda _: rep, params)
+    m = _model_axis(mesh)
+    w_in = params["in_layers"][0]["w"]
+    if w_in.shape[0] % m == 0:
+        sh["in_layers"][0]["w"] = NamedSharding(mesh, P(MODEL_AXIS, None))
+    w_out = params["out_layers"][-1]["w"]
+    if w_out.shape[1] % m == 0:
+        sh["out_layers"][-1]["w"] = NamedSharding(mesh, P(None, MODEL_AXIS))
+        sh["out_layers"][-1]["b"] = NamedSharding(mesh, P(MODEL_AXIS))
+    return sh
+
+
+def place_adam_state(state: Any, param_shardings: Any, mesh: Mesh) -> Any:
+    """Place a ``ScaleByAdamState`` so mu/nu mirror the param placement.
+
+    (``jit(tx.init)`` can't do this: the zero moments have no data dependence
+    on the params, so XLA is free to leave them on the default device.)
+    """
+    import optax
+
+    rep = replicated(mesh)
+    assert isinstance(state, optax.ScaleByAdamState), type(state)
+    return optax.ScaleByAdamState(
+        count=jax.device_put(state.count, rep),
+        mu=jax.device_put(state.mu, param_shardings),
+        nu=jax.device_put(state.nu, param_shardings),
+    )
+
+
+def shard_model_params(gcn_params: Any, dn_params: list, mesh: Mesh):
+    """Place params per the catalog layout above; returns the placed params
+    plus their sharding trees (for :func:`place_adam_state` / checkpoint
+    restore templates)."""
+    gcn_sh = gcn_param_shardings(gcn_params, mesh)
+    dn_sh = [denoise_param_shardings(p, mesh) for p in dn_params]
+    gcn_params = jax.device_put(gcn_params, gcn_sh)
+    dn_params = [jax.device_put(p, s) for p, s in zip(dn_params, dn_sh)]
+    return gcn_params, dn_params, gcn_sh, dn_sh
 
 
 def check_batch_divisibility(batch: int, mesh: Mesh) -> None:

@@ -20,7 +20,7 @@ from diffmm_tpu.config import Config
 from diffmm_tpu.data.loader import EDGE_ALIGN, DeviceData, HostData, to_device
 from diffmm_tpu.data.sampling import negative_sampling
 from diffmm_tpu.diffusion.schedule import make_schedule
-from diffmm_tpu.eval.ranking import dcg_table, eval_epoch
+from diffmm_tpu.eval.ranking import dcg_table, make_eval_epoch
 from diffmm_tpu.models.denoise import init_denoise_params
 from diffmm_tpu.models.gcn import init_gcn_params
 from diffmm_tpu.ops.graph import (
@@ -30,7 +30,6 @@ from diffmm_tpu.ops.graph import (
 )
 from diffmm_tpu.parallel.sharding import (
     check_batch_divisibility,
-    replicate,
     shard_batch,
     shard_blocks,
     shard_device_data,
@@ -127,6 +126,9 @@ class Coach:
             segsum_plans=self.segsum_plans,
         )
         self.cum_dcg = dcg_table(config.base.topk)
+        # Eval program bound to (topk, mesh): under model_parallel > 1 the
+        # scoring runs per catalog shard with an explicit distributed top-k.
+        self.eval_prog = make_eval_epoch(config.base.topk, mesh)
 
         self.timer = PhaseTimer()
         self.ckpt = None
@@ -175,20 +177,30 @@ class Coach:
             )
             for k in k_dns
         ]
-        self.gcn_opt_state = tx.init(self.gcn_params)
-        self.dn_opt_states = [tx.init(p) for p in self.dn_params]
         if self.mesh is not None:
-            # Params and optimizer state are replicated; XLA inserts the
-            # gradient psum over the data axis on its own.
-            (
-                self.gcn_params,
-                self.dn_params,
-                self.gcn_opt_state,
-                self.dn_opt_states,
-            ) = replicate(
-                (self.gcn_params, self.dn_params, self.gcn_opt_state, self.dn_opt_states),
-                self.mesh,
+            # Narrow params replicate; catalog-dim params (i_embs, the
+            # denoiser wide layers) ride the model axis, so parameter AND
+            # Adam-moment memory scale with it (SURVEY.md §2.3). Gradients
+            # arrive with the same layout (psum over data, sharded over
+            # model) and the update stays local — XLA inserts it all.
+            from diffmm_tpu.parallel.sharding import (
+                place_adam_state,
+                shard_model_params,
             )
+
+            self.gcn_params, self.dn_params, gcn_sh, dn_sh = shard_model_params(
+                self.gcn_params, self.dn_params, self.mesh
+            )
+            self.gcn_opt_state = place_adam_state(
+                tx.init(self.gcn_params), gcn_sh, self.mesh
+            )
+            self.dn_opt_states = [
+                place_adam_state(tx.init(p), s, self.mesh)
+                for p, s in zip(self.dn_params, dn_sh)
+            ]
+        else:
+            self.gcn_opt_state = tx.init(self.gcn_params)
+            self.dn_opt_states = [tx.init(p) for p in self.dn_params]
         self.modal_adjs: list[BiAdj] | None = None
         self.edge_buffers: list[jax.Array] | None = None
         self.epoch_times: list[float] = []
@@ -293,10 +305,15 @@ class Coach:
             rows, cols, user_num=self.host.user_num, item_num=self.host.item_num
         )
         if self.mesh is not None and self.dense_graphs:
-            from diffmm_tpu.parallel.sharding import catalog_sharded, replicated
+            from diffmm_tpu.parallel.sharding import (
+                catalog_sharded_or_replicated,
+                replicated,
+            )
 
             adj = adj._replace(
-                mat=jax.device_put(adj.mat, catalog_sharded(self.mesh)),
+                mat=jax.device_put(
+                    adj.mat, catalog_sharded_or_replicated(adj.mat, self.mesh)
+                ),
                 s_user=jax.device_put(adj.s_user, replicated(self.mesh)),
                 s_item=jax.device_put(adj.s_item, replicated(self.mesh)),
             )
@@ -479,7 +496,7 @@ class Coach:
             t_counts = e_counts.take(jnp.asarray(idx_w))
             valid_dev = jnp.asarray(valid)
             sums = np.asarray(
-                eval_epoch(
+                self.eval_prog(
                     u_final,
                     i_final,
                     self._put_blocks(users.reshape(nb, batch)),
@@ -488,7 +505,6 @@ class Coach:
                     self._put_blocks(t_items.reshape(nb, batch, -1)),
                     self._put_blocks(t_counts.reshape(nb, batch)),
                     self.cum_dcg,
-                    cfg.base.topk,
                 )
             )
         return {

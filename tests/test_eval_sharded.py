@@ -1,0 +1,93 @@
+"""Distributed eval top-k (SURVEY.md §2.3 "sharded full-catalog eval").
+
+Under model_parallel > 1 each device scores its user block against only its
+catalog shard, takes a local top-k, and merges m·k candidates over the model
+axis — the replicated (B, I) score matrix never materializes. The top-k of
+the union of per-shard top-ks equals the global top-k (exactness), checked
+against the replicated form; the compiled HLO is checked for the absence of
+a full-catalog f32 all-gather ahead of the sort.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffmm_tpu.eval.ranking import dcg_table, make_eval_epoch, make_score_topk
+from diffmm_tpu.parallel import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(8, model_parallel=2)
+
+
+def _random_inputs(rng, n_user=24, n_item=48, d=8, batch=8, topk=5):
+    u_final = jnp.asarray(rng.standard_normal((n_user, d)), dtype=jnp.float32)
+    i_final = jnp.asarray(rng.standard_normal((n_item, d)), dtype=jnp.float32)
+    dense = jnp.asarray(rng.random((n_user, n_item)) < 0.2, dtype=jnp.int8)
+    users = jnp.asarray(rng.integers(0, n_user, size=batch), dtype=jnp.int32)
+    return u_final, i_final, dense, users
+
+
+def test_sharded_topk_matches_plain(mesh8, rng):
+    topk = 5
+    u_final, i_final, dense, users = _random_inputs(rng, topk=topk)
+    u = u_final.take(users, axis=0)
+
+    plain = make_score_topk(topk, None)
+    sharded = make_score_topk(topk, mesh8)
+    a = np.asarray(jax.jit(plain)(u, i_final, dense, users))
+    b = np.asarray(jax.jit(sharded)(u, i_final, dense, users))
+    # continuous random scores -> no ties -> identical ordered ids
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_topk_fallback_on_uneven_catalog(mesh8, rng):
+    """47 items don't divide the model axis -> silently exact fallback."""
+    topk = 5
+    u_final, i_final, dense, users = _random_inputs(rng, n_item=47, topk=topk)
+    u = u_final.take(users, axis=0)
+    a = np.asarray(jax.jit(make_score_topk(topk, None))(u, i_final, dense, users))
+    b = np.asarray(jax.jit(make_score_topk(topk, mesh8))(u, i_final, dense, users))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_eval_epoch_parity_and_no_full_catalog_gather(mesh8, rng):
+    topk = 5
+    n_item = 48
+    u_final, i_final, dense, users = _random_inputs(
+        rng, n_item=n_item, batch=8, topk=topk
+    )
+    nb, batch = 3, 8
+    users_blocks = jnp.asarray(
+        rng.integers(0, u_final.shape[0], size=(nb, batch)), dtype=jnp.int32
+    )
+    valid_blocks = jnp.ones((nb, batch), dtype=bool)
+    items_blocks = jnp.where(
+        jnp.asarray(rng.random((nb, batch, 4)) < 0.7),
+        jnp.asarray(rng.integers(0, n_item, size=(nb, batch, 4)), dtype=jnp.int32),
+        -1,
+    )
+    counts_blocks = jnp.maximum((items_blocks >= 0).sum(axis=2), 1)
+    cum = dcg_table(topk)
+
+    args = (
+        u_final, i_final, users_blocks, valid_blocks, dense,
+        items_blocks, counts_blocks, cum,
+    )
+    plain = np.asarray(make_eval_epoch(topk, None)(*args))
+    prog = make_eval_epoch(topk, mesh8)
+    sharded = np.asarray(prog(*args))
+    np.testing.assert_allclose(plain, sharded, rtol=1e-5, atol=1e-6)
+
+    # HLO: no all-gather may produce a full-catalog f32 tensor (the merge
+    # gathers only (B, m*k) candidates; the catalog axis stays sharded).
+    text = jax.jit(prog).lower(*args).compile().as_text()
+    for line in text.splitlines():
+        if "all-gather" in line:
+            assert not re.search(rf"f32\[\d+,{n_item}\]", line), line
