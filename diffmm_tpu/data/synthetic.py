@@ -20,18 +20,42 @@ def make_synthetic_host_data(
     seed: int = 0,
     modalities: list[str] | None = None,
     feat_dims: list[int] | None = None,
+    structure_rank: int | None = None,
 ) -> HostData:
     """Random bipartite graph + gaussian features, same invariants as real data.
 
     Every user is guaranteed >= 1 train interaction (the rebuild scatter
     layout assumes sum(degrees) == nnz with per-user CSR spans).
+
+    ``structure_rank``: when set, interactions are drawn from a low-rank
+    preference model (rank-r user/item latents; an interaction lands where
+    the latent affinity is high) and the test items are the *held-out
+    highest-affinity* items per user. A trained model can then genuinely
+    beat the random-ranking expectation on the test split — a pure-random
+    graph carries no signal, so accuracy floors over it are vacuous.
+    Modality features also carry the item latents (noisy linear maps), so
+    the modal view has learnable content too.
     """
     rng = np.random.default_rng(seed)
     mods = modalities or ["image", "text", "audio"]
     dims = feat_dims or [16, 24, 16][: len(mods)]
 
+    affinity = None
+    if structure_rank is not None:
+        assert user_num * item_num <= 2 * 10**8, (
+            "structured mode materializes the (U, I) affinity matrix on host"
+        )
+        z_u = rng.standard_normal((user_num, structure_rank))
+        z_i = rng.standard_normal((item_num, structure_rank))
+        affinity = z_u @ z_i.T / np.sqrt(structure_rank)  # (U, I), ~N(0,1)
+
     if user_num * item_num <= 2 * 10**8:
-        dense = (rng.random((user_num, item_num)) < density).astype(np.int8)
+        if affinity is not None:
+            # keep the target density but concentrate mass on high affinity
+            noisy = affinity + rng.gumbel(0, 0.25, affinity.shape)
+            dense = (noisy > np.quantile(noisy, 1.0 - density)).astype(np.int8)
+        else:
+            dense = (rng.random((user_num, item_num)) < density).astype(np.int8)
         # guarantee at least one interaction per user
         for u in range(user_num):
             if dense[u].sum() == 0:
@@ -52,12 +76,30 @@ def make_synthetic_host_data(
     degrees = np.bincount(rows, minlength=user_num).astype(np.int32)
     offsets = np.concatenate([[0], np.cumsum(degrees[:-1])]).astype(np.int32)
 
-    raw_feats = [rng.standard_normal((item_num, d), dtype=np.float32) for d in dims]
+    if structure_rank is not None:
+        raw_feats = [
+            (
+                z_i @ rng.standard_normal((structure_rank, d)) / np.sqrt(structure_rank)
+                + 0.3 * rng.standard_normal((item_num, d))
+            ).astype(np.float32)
+            for d in dims
+        ]
+    else:
+        raw_feats = [
+            rng.standard_normal((item_num, d), dtype=np.float32) for d in dims
+        ]
 
-    # test set: a few held-out items per user (may overlap train; fine for tests)
+    # test set: a few held-out items per user (may overlap train; fine for
+    # tests). Structured mode: the highest-affinity NON-train items — the
+    # items the latent model says the user would pick next.
     t_users, t_items = [], []
     for u in range(user_num):
-        its = rng.choice(item_num, size=test_per_user, replace=False)
+        if affinity is not None:
+            order = np.argsort(-affinity[u])
+            cand = order[dense[u, order] == 0]
+            its = cand[:test_per_user]
+        else:
+            its = rng.choice(item_num, size=test_per_user, replace=False)
         t_users.append(u)
         t_items.append(its.astype(np.int32))
     test_users = np.array(t_users, dtype=np.int32)

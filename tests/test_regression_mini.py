@@ -1,0 +1,43 @@
+"""Real-data accuracy regression on the committed tiktok subsample.
+
+``data/tiktok_mini`` is the first 600 tiktok users against the full 6710-item
+catalog (built with ``tools/dataset_tools.py subsample``, reference
+`notebooks/mkdata.ipynb` cell 5 semantics; real image/audio blobs, text
+synthesized like the full run). Two epochs with a small model must land
+Recall@20 in a pinned band — a no-op joint phase scores at the random-ranking
+level (~20/6710 ≈ 0.003) and fails the floor, while the ceiling flags silent
+eval inflation. Values are deterministic on the CPU test backend for a fixed
+seed (band width covers JAX-version reduction-order drift).
+"""
+
+import os
+
+import pytest
+
+from diffmm_tpu.config import Config
+from diffmm_tpu.data.loader import load_host_data
+from diffmm_tpu.train.coach import Coach
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MINI = os.path.join(REPO, "data", "tiktok_mini")
+
+
+@pytest.mark.skipif(not os.path.isdir(MINI), reason="tiktok_mini slice not present")
+def test_tiktok_mini_two_epoch_recall_band():
+    cfg = Config()
+    cfg.data.name = "tiktok_mini"
+    cfg.base.seed = 1818
+    cfg.base.latdim = 16
+    cfg.base.denoise_dim = "[64]"
+    cfg.train.batch = 256
+    cfg.train.test_batch = 256
+    cfg.train.epoch = 2
+
+    host = load_host_data(cfg, data_root=os.path.join(REPO, "data"))
+    assert host.user_num == 600 and host.item_num == 6710
+    coach = Coach(cfg, host)
+    for epoch in range(2):
+        coach.train_epoch(epoch)
+    result = coach.test_epoch()
+    # measured 0.01005 (this file's pinned run); random ranking ≈ 0.003
+    assert 0.005 <= result["Recall"] <= 0.06, result
