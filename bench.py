@@ -38,16 +38,44 @@ def main() -> int:
     log = Log("bench", config.data.name)
     coach = Coach(config, host, log=log)
 
+    import jax
+
     times = []
     for ep in range(epochs):
         t0 = time.perf_counter()
         coach.train_epoch(ep)
-        import jax
-
         jax.block_until_ready(coach.gcn_params["u_embs"])
         times.append(time.perf_counter() - t0)
         print(f"epoch {ep}: {times[-1]:.2f}s", file=sys.stderr, flush=True)
-    coach.test_epoch()
+
+    # Eval latency: full-catalog ranking over all test users (the serving-
+    # shaped program). First call may compile; median of the rest.
+    eval_times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        coach.test_epoch()
+        eval_times.append(time.perf_counter() - t0)
+    eval_s = sorted(eval_times[1:])[len(eval_times[1:]) // 2]
+    print(f"eval: {eval_s:.3f}s", file=sys.stderr, flush=True)
+
+    # Sparse/segsum graph form (the web-scale path — guards the Pallas
+    # sorted-segment-sum kernels; BENCH_SPARSE=0 skips).
+    sparse_epoch_s = None
+    if os.environ.get("BENCH_SPARSE", "1") != "0":
+        import copy
+
+        s_config = copy.deepcopy(config)
+        s_config.train.graph_form = "sparse"
+        s_coach = Coach(s_config, host, log=log)
+        s_times = []
+        for ep in range(max(3, epochs // 2)):
+            t0 = time.perf_counter()
+            s_coach.train_epoch(ep)
+            jax.block_until_ready(s_coach.gcn_params["u_embs"])
+            s_times.append(time.perf_counter() - t0)
+            print(f"sparse epoch {ep}: {s_times[-1]:.2f}s", file=sys.stderr, flush=True)
+        steady_s = sorted(s_times[1:]) if len(s_times) > 1 else s_times
+        sparse_epoch_s = steady_s[len(steady_s) // 2]
 
     steady = sorted(times[1:]) if len(times) > 1 else times
     epoch_s = steady[len(steady) // 2]
@@ -70,6 +98,10 @@ def main() -> int:
                 "detail": {
                     "epoch_seconds_median_steady": round(epoch_s, 3),
                     "epoch_seconds_all": [round(t, 2) for t in times],
+                    "eval_seconds_median": round(eval_s, 3),
+                    "sparse_epoch_seconds_median": (
+                        round(sparse_epoch_s, 3) if sparse_epoch_s else None
+                    ),
                     "baseline": "torch-CPU reference epoch (bench_baseline.json)",
                     "baseline_epoch_seconds": ref_epoch_s,
                     "device": "default jax device",

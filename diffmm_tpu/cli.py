@@ -67,9 +67,24 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     if args.distributed:
+        import os
+
         import jax
 
-        jax.distributed.initialize()
+        # Bare initialize() only auto-detects known cluster launchers (TPU
+        # pods, SLURM, ...). Generic launchers set JAX's standard variables
+        # explicitly — honor them so `--distributed` works anywhere.
+        coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if coord and nproc is not None and pid is not None:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(nproc),
+                process_id=int(pid),
+            )
+        else:
+            jax.distributed.initialize()
 
     try:
         config = load_config(args.config)

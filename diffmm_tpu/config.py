@@ -66,7 +66,9 @@ class DataConfig:
     audio_feat_dim: int = 0
     # Graceful degradation for unshipped feature blobs: "zeros" (default)
     # keeps the modality with zero features; "drop" trains without it
-    # (fewer denoisers/graphs); "randn" uses fixed gaussian pseudo-features.
+    # (fewer denoisers/graphs); "randn" uses fixed gaussian pseudo-features;
+    # "svd" uses item co-occurrence directions of the train matrix (real
+    # collaborative signal in place of the missing content embedding).
     missing_modalities: str = "zeros"
 
 
