@@ -555,11 +555,17 @@ class Coach:
         template = self._ckpt_arrays()
         if template["edge_buffers"] is None:
             # fresh Coach: build a same-structure template for the saved
-            # rebuilt-graph buffers
-            template["edge_buffers"] = [
+            # rebuilt-graph buffers — with the mesh placement the training
+            # path uses (orbax restores with the template's shardings; a
+            # single-device buffer would collide with the mesh-sharded edge
+            # arrays in _make_adj)
+            buf = [
                 jnp.zeros(self.edge_buf_len, dtype=jnp.int32)
                 for _ in range(self.n_modal)
             ]
+            if self.mesh is not None:
+                buf = [shard_batch(b, self.mesh) for b in buf]
+            template["edge_buffers"] = buf
         _, arrays, aux = self.ckpt.restore(template=template)
         self.gcn_params = arrays["gcn_params"]
         self.gcn_opt_state = arrays["gcn_opt_state"]

@@ -81,3 +81,28 @@ def test_eval_after_restore_without_training(cfg, tiny_data, tmp_path):
     metrics_after = second.test_epoch()
     for k in metrics_before:
         assert metrics_before[k] == pytest.approx(metrics_after[k], abs=1e-6)
+
+
+def test_mesh_checkpoint_roundtrip_preserves_shardings(cfg, tiny_data, tmp_path):
+    """Save under a mesh, restore into a fresh mesh Coach: params must match
+    exactly AND keep the catalog-axis placement (StandardRestore takes the
+    shardings from the live template tree)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from diffmm_tpu.parallel import MODEL_AXIS, make_mesh
+
+    mesh = make_mesh(8, model_parallel=2)
+    ck = str(tmp_path / "mesh_ck")
+    first = Coach(copy.deepcopy(cfg), tiny_data, mesh=mesh, checkpoint_dir=ck)
+    first.run(epochs=2)
+    first.ckpt.close()
+
+    second = Coach(copy.deepcopy(cfg), tiny_data, mesh=mesh, checkpoint_dir=ck)
+    second.restore_checkpoint()
+    _params_allclose(first.gcn_params, second.gcn_params)
+    for a, b in zip(first.dn_params, second.dn_params):
+        _params_allclose(a, b)
+    assert second.gcn_params["i_embs"].sharding.spec[0] == MODEL_AXIS
+    assert (
+        second.dn_params[0]["out_layers"][-1]["w"].sharding.spec[1] == MODEL_AXIS
+    )
