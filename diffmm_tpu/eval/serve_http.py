@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from diffmm_tpu.eval.serving import RecIndex, load_index, recommend
 
 
-def make_handler(index: RecIndex):
+def make_handler(index: RecIndex, approx: bool = False):
     user_num, item_num = index.train_dense.shape
 
     class Handler(BaseHTTPRequestHandler):
@@ -62,7 +62,8 @@ def make_handler(index: RecIndex):
                     400, {"error": f"k {k} out of range [1, {item_num}]"}
                 )
             ids, scores = recommend(
-                index, jnp.asarray([user], dtype=jnp.int32), k, mask_seen
+                index, jnp.asarray([user], dtype=jnp.int32), k, mask_seen,
+                approx=approx,
             )
             return self._send(
                 200,
@@ -81,10 +82,15 @@ def main(argv=None) -> int:
     parser.add_argument("index", help="npz index from --export-index")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8188)
+    parser.add_argument(
+        "--approx", action="store_true",
+        help="hardware-bucketed approx_max_k (0.95 recall target) instead "
+        "of exact top-k; pays off on very large catalogs",
+    )
     args = parser.parse_args(argv)
 
     index = load_index(args.index)
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(index))
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(index, approx=args.approx))
     print(
         f"serving {index.train_dense.shape} index on "
         f"http://{args.host}:{server.server_address[1]}", flush=True,

@@ -25,21 +25,30 @@ class RecIndex(NamedTuple):
     train_dense: jax.Array  # (U, I) int8 — mask of already-seen items
 
 
-@partial(jax.jit, static_argnames=("k", "mask_seen"))
+@partial(jax.jit, static_argnames=("k", "mask_seen", "approx"))
 def _recommend_compiled(
-    index: RecIndex, users: jax.Array, k: int, mask_seen: bool
+    index: RecIndex, users: jax.Array, k: int, mask_seen: bool, approx: bool
 ) -> tuple[jax.Array, jax.Array]:
     u = index.u_final.take(users, axis=0)  # (B, d)
     scores = u @ index.i_final.T  # (B, I)
     if mask_seen:
         mask = index.train_dense.take(users, axis=0).astype(scores.dtype)
         scores = scores * (1.0 - mask) - mask * 1e8
-    top_scores, top_ids = jax.lax.top_k(scores, k)
+    if approx:
+        # TPU-native bucketed top-k (avoids the full sort network; recall
+        # target 0.95 per bucket — the right trade for yelp-scale catalogs)
+        top_scores, top_ids = jax.lax.approx_max_k(scores, k, recall_target=0.95)
+    else:
+        top_scores, top_ids = jax.lax.top_k(scores, k)
     return top_ids, top_scores
 
 
 def recommend(
-    index: RecIndex, users: jax.Array, k: int, mask_seen: bool = True
+    index: RecIndex,
+    users: jax.Array,
+    k: int,
+    mask_seen: bool = True,
+    approx: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-``k`` items (ids, scores) for a batch of user ids.
 
@@ -47,13 +56,19 @@ def recommend(
     compiled top-k, then sliced back — a long-lived server fed
     client-supplied ``k`` values compiles at most ``log2(item_num)``
     variants per ``mask_seen`` instead of one per distinct ``k``.
+
+    ``approx=True`` swaps the exact `lax.top_k` for TPU's hardware-bucketed
+    `approx_max_k` (0.95 recall target) — worth it once the catalog is
+    large enough that the sort network dominates the matmul.
     """
     item_num = int(index.i_final.shape[0])
     k = int(k)
     if not 1 <= k <= item_num:
         raise ValueError(f"k must be in [1, {item_num}], got {k}")
     k_pad = min(1 << (k - 1).bit_length(), item_num)
-    top_ids, top_scores = _recommend_compiled(index, users, k_pad, bool(mask_seen))
+    top_ids, top_scores = _recommend_compiled(
+        index, users, k_pad, bool(mask_seen), bool(approx)
+    )
     return top_ids[:, :k], top_scores[:, :k]
 
 

@@ -35,3 +35,23 @@ def test_recommend_masks_train_items(tiny_config, tiny_data, tmp_path):
     back = load_index(str(tmp_path / "index"))
     ids2, _ = recommend(back, users, k)
     np.testing.assert_array_equal(ids_np, np.asarray(ids2))
+
+
+def test_recommend_approx_mode(tiny_config, tiny_data):
+    """approx_max_k path: same contract (ids in range, seen items masked);
+    on CPU the lowering is exact, on TPU it is the hardware-bucketed op with
+    a 0.95 recall target."""
+    import copy
+
+    from diffmm_tpu.train.coach import Coach
+
+    coach = Coach(copy.deepcopy(tiny_config), tiny_data)
+    coach.train_epoch(0)
+    index = build_index(coach)
+    users = jnp.asarray([0, 3, 7], dtype=jnp.int32)
+    ids, scores = recommend(index, users, 5, approx=True)
+    assert ids.shape == (3, 5)
+    train = np.asarray(index.train_dense)
+    for row, u in zip(np.asarray(ids), np.asarray(users)):
+        assert all(0 <= i < tiny_data.item_num for i in row)
+        assert not train[u, row].any(), "seen item served"
