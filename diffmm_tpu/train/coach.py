@@ -204,6 +204,10 @@ class Coach:
         self.modal_adjs: list[BiAdj] | None = None
         self.edge_buffers: list[jax.Array] | None = None
         self.epoch_times: list[float] = []
+        # Cosine-LR horizon (T_max). run(epochs=N) moves it to the effective
+        # count — same trajectory the reference produces when the toml's
+        # [train].epoch is edited to N (`Main.py:93` T_max=total epochs).
+        self.total_epochs: int = self.config.train.epoch
         self.timer.reset()
 
     def reset(self, seed: int | None = None) -> None:
@@ -325,7 +329,7 @@ class Coach:
         data = self.data
         batch = cfg.train.batch
         if cfg.train.use_lr_scheduler:
-            lr = cosine_lr(epoch, cfg.train.lr, cfg.train.epoch)
+            lr = cosine_lr(epoch, cfg.train.lr, self.total_epochs)
         else:
             lr = cfg.train.lr
         lr = jnp.float32(lr)
@@ -604,6 +608,7 @@ class Coach:
         """Epoch loop with best tracking (reference `Main.py:45-82`)."""
         cfg = self.config
         n_epochs = epochs if epochs is not None else cfg.train.epoch
+        self.total_epochs = n_epochs  # cosine T_max follows the effective count
         recall_max = ndcg_max = precision_max = 0.0
         his_max = [0.0, 0.0, 0.0]
         best_epoch = 0

@@ -120,3 +120,29 @@ def test_cl_method_pairwise_runs():
     res = coach.train_epoch(0)
     assert np.isfinite(res["Loss"])
     assert "audio loss" not in res
+
+
+def test_epochs_override_moves_cosine_horizon():
+    """run(epochs=N) must anneal the cosine LR over N, exactly as the
+    reference would if the toml's [train].epoch were edited to N
+    (`Main.py:93` sets T_max to the total epoch count). Without this, an
+    overridden run reuses the config horizon and the LR climbs back up
+    past it (cosine is periodic)."""
+    from diffmm_tpu.train.optim import cosine_lr
+
+    cfg = Config()
+    cfg.base.seed = 3
+    cfg.base.latdim = 8
+    cfg.base.denoise_dim = "[16]"
+    cfg.train.batch = 16
+    cfg.train.test_batch = 8
+    cfg.train.epoch = 100
+    host = make_synthetic_host_data(cfg, user_num=24, item_num=20, seed=9)
+    coach = Coach(cfg, host)
+    assert coach.total_epochs == 100
+    coach.run(epochs=2)
+    assert coach.total_epochs == 2
+    # the horizon the schedule sees: epoch 1 of 2 is the cosine midpoint
+    assert cosine_lr(1, cfg.train.lr, coach.total_epochs) == pytest.approx(
+        1e-4 + (cfg.train.lr - 1e-4) / 2
+    )

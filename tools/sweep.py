@@ -8,6 +8,13 @@ so the very slow first compile is paid once.
 
   python tools/sweep.py -c conf/tiktok.toml --param sampling_step \
       --values 0,1,2,3,4 --epochs 60 --out sweep_results.json
+
+Coordinate-descent mode: sweep several hypers in sequence, fixing each at
+its best-Recall winner before moving to the next (still one compile):
+
+  python tools/sweep.py -c conf/tiktok.toml --epochs 300 \
+      --plan "residual_weight=0.2,0.35,0.5;cross_cl_rate=0.25,0.5,0.75" \
+      --out sweep_plan.json
 """
 
 from __future__ import annotations
@@ -25,6 +32,46 @@ from diffmm_tpu.train.coach import Coach
 from diffmm_tpu.utils.logging import Log
 
 
+# All scalar hypers are traced into the jitted phase programs (read from
+# config each epoch), so sweeping them on a reused Coach is recompile-
+# free; "seed" re-initializes via Coach.reset. Only structural knobs
+# (cl_method, steps, denoise_dim, latdim, graph_form, ...) need a fresh
+# process.
+DYNAMIC_SAFE = {
+    "sampling_step", "seed", "sim_weight", "noise_degree",
+    "cross_cl_temp", "cross_cl_rate", "modal_cl_temp", "modal_cl_rate",
+    "modal_adj_weight", "residual_weight",
+}
+
+
+def _cast_values(config, param: str, raw: str) -> list:
+    if param == "seed":
+        return [int(v) for v in raw.split(",")]
+    caster = type(getattr(config.hyper, param))
+    return [caster(v) for v in raw.split(",")]
+
+
+def _sweep_one(coach, config, log, param, values, epochs, *, fresh: bool):
+    """Run ``epochs`` for each value of hyper.<param>; return result rows.
+
+    ``fresh``: reset before the first value too (needed when a previous
+    sweep leg already trained on this Coach).
+    """
+    rows = []
+    for i, value in enumerate(values):
+        if param == "seed":
+            coach.reset(seed=value)
+        else:
+            if i > 0 or fresh:
+                coach.reset()
+            setattr(config.hyper, param, value)
+        log.info(f"🔁 sweep {param} = {value}")
+        best = coach.run(epochs=epochs)
+        rows.append({param: value, **best})
+        log.info(f"sweep {param}={value}: {best}")
+    return rows
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", "-c", default="conf/tiktok.toml")
@@ -32,6 +79,10 @@ def main(argv=None) -> int:
                         help="hyper.<param> to sweep")
     parser.add_argument("--values", default="0,1,2,3,4",
                         help="comma-separated values")
+    parser.add_argument("--plan", default=None,
+                        help="coordinate descent: 'p1=v,v,...;p2=v,v,...' — "
+                             "each param is fixed at its best-Recall winner "
+                             "before the next is swept (overrides --param)")
     parser.add_argument("--epochs", type=int, default=60)
     parser.add_argument("--out", default="sweep_results.json")
     parser.add_argument("--data-root", default=None)
@@ -42,40 +93,48 @@ def main(argv=None) -> int:
     log = Log("sweep", config.data.name)
     coach = Coach(config, host, log=log)
 
-    # All scalar hypers are traced into the jitted phase programs (read from
-    # config each epoch), so sweeping them on a reused Coach is recompile-
-    # free; "seed" re-initializes via Coach.reset. Only structural knobs
-    # (cl_method, steps, denoise_dim, latdim, graph_form, ...) need a fresh
-    # process.
-    DYNAMIC_SAFE = {
-        "sampling_step", "seed", "sim_weight", "noise_degree",
-        "cross_cl_temp", "cross_cl_rate", "modal_cl_temp", "modal_cl_rate",
-        "modal_adj_weight", "residual_weight",
-    }
+    if args.plan:
+        legs = []
+        for leg in args.plan.split(";"):
+            param, _, raw = leg.partition("=")
+            param = param.strip()
+            if param not in DYNAMIC_SAFE:
+                raise SystemExit(
+                    f"plan param {param!r} is a compile-time constant "
+                    f"(dynamic-safe: {sorted(DYNAMIC_SAFE)})"
+                )
+            legs.append((param, _cast_values(config, param, raw)))
+        report = {"config": args.config, "plan": args.plan,
+                  "epochs": args.epochs, "legs": [], "incumbent": {}}
+        for li, (param, values) in enumerate(legs):
+            rows = _sweep_one(coach, config, log, param, values,
+                              args.epochs, fresh=li > 0)
+            best = max(rows, key=lambda r: r["Recall"])
+            if param != "seed":
+                setattr(config.hyper, param, best[param])
+                report["incumbent"][param] = best[param]
+            report["legs"].append({"param": param, "results": rows,
+                                   "winner": best})
+            log.info(f"🏁 leg {param}: winner {best[param]} "
+                     f"(Recall {best['Recall']:.5f})")
+            with open(args.out, "w") as fh:  # survive interruption
+                json.dump(report, fh, indent=2)
+        print(json.dumps(report["incumbent"]))
+        return 0
+
     if args.param not in DYNAMIC_SAFE:
         raise SystemExit(
             f"--param {args.param} is a compile-time constant; sweeping it on "
             f"a reused Coach would silently keep the old value. Run separate "
             f"processes instead (dynamic-safe params: {sorted(DYNAMIC_SAFE)})."
         )
-    if args.param == "seed":
-        values = [int(v) for v in args.values.split(",")]
-    else:
-        caster = type(getattr(config.hyper, args.param))
-        values = [caster(v) for v in args.values.split(",")]
+    values = _cast_values(config, args.param, args.values)
 
     results = []
     for i, value in enumerate(values):
-        if args.param == "seed":
-            coach.reset(seed=value)
-        else:
-            if i > 0:
-                coach.reset()
-            setattr(config.hyper, args.param, value)
-        log.info(f"🔁 sweep {args.param} = {value}")
-        best = coach.run(epochs=args.epochs)
-        results.append({args.param: value, **best})
-        log.info(f"sweep {args.param}={value}: {best}")
+        rows = _sweep_one(coach, config, log, args.param, [value],
+                          args.epochs, fresh=i > 0)
+        results.extend(rows)
         # persist incrementally: long sweeps survive interruption
         with open(args.out, "w") as fh:
             json.dump(
