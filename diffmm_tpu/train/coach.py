@@ -677,6 +677,9 @@ class Coach:
                     )
         except KeyboardInterrupt:
             self.log.info("🈲 Training interrupted by user!")
+        finally:
+            if self.ckpt is not None:
+                self.ckpt.wait()  # join the in-flight async save before exit
         return {
             "best_epoch": best_epoch,
             "Recall": recall_max,

@@ -29,8 +29,16 @@ class CheckpointManager:
     """Thin wrapper over an orbax PyTree checkpointer + a JSON sidecar for
     non-array state (epoch, numpy RNG state, best metrics)."""
 
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 async_save: bool = True):
+        """``async_save``: return from ``save`` once device arrays are
+        snapshotted to host and let orbax write them out in the background
+        (training overlaps the disk write; a new save, restore, or close
+        joins the in-flight one first). Synchronous mode persists before
+        returning — use it when the caller needs the files on disk at
+        return (tests do)."""
         self.directory = _abs(directory)
+        self.async_save = async_save
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
@@ -54,14 +62,17 @@ class CheckpointManager:
                 aux=ocp.args.JsonSave(aux),
             ),
         )
-        self._mgr.wait_until_finished()
+        if not self.async_save:
+            self._mgr.wait_until_finished()
 
     def latest_epoch(self) -> int | None:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, epoch: int | None = None, template: Any = None):
         """Returns ``(epoch, arrays, aux)``; ``template`` is a pytree of the
         same structure (abstract or concrete) used to restore shardings."""
+        self._mgr.wait_until_finished()  # join any in-flight async save
         if epoch is None:
             epoch = self._mgr.latest_step()
         if epoch is None:
@@ -79,7 +90,12 @@ class CheckpointManager:
         out = self._mgr.restore(epoch, args=restore_args)
         return epoch, out["arrays"], out["aux"]
 
+    def wait(self) -> None:
+        """Block until any in-flight async save is fully on disk."""
+        self._mgr.wait_until_finished()
+
     def close(self) -> None:
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

@@ -28,10 +28,17 @@ def test_resume_matches_uninterrupted(cfg, tiny_data, tmp_path):
     full = Coach(copy.deepcopy(cfg), tiny_data)
     full.run(epochs=3)
 
-    # interrupted: 2 epochs with checkpointing, then a fresh Coach resumes
+    # interrupted: a 3-epoch run killed after epoch 1's checkpoint, then a
+    # fresh Coach resumes. The kill must not shrink the training horizon —
+    # the cosine LR anneals over the *target* epoch count (run(epochs=N)
+    # sets total_epochs=N), so the interrupted segment is driven manually
+    # with the same horizon the full run used.
     ck = str(tmp_path / "ckpt")
     first = Coach(copy.deepcopy(cfg), tiny_data, checkpoint_dir=ck)
-    first.run(epochs=2)
+    first.total_epochs = 3
+    for epoch in range(2):
+        first.train_epoch(epoch)
+    first.save_checkpoint(1, {})
     first.ckpt.close()
 
     second = Coach(copy.deepcopy(cfg), tiny_data, checkpoint_dir=ck)
