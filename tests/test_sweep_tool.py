@@ -1,0 +1,59 @@
+"""Sweep harness (tools/sweep.py) — the script equivalent of the
+reference's sensitivity experiments (`notebooks/visualization.ipynb` cells
+1-2 and the commented-out driver at reference `Main.py:491-521`).
+Training itself is covered by the e2e tests; here we cover the config
+resolution and the guard rails."""
+
+import importlib.util
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spec = importlib.util.spec_from_file_location(
+    "sweep_tool", os.path.join(REPO, "tools", "sweep.py")
+)
+sweep_tool = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(sweep_tool)
+
+from diffmm_tpu.config import Config  # noqa: E402
+
+
+def test_resolve_bare_defaults_to_hyper():
+    cfg = Config()
+    obj, key = sweep_tool._resolve(cfg, "noise_degree")
+    assert obj is cfg.hyper and key == "noise_degree"
+
+
+def test_resolve_qualified_sections():
+    cfg = Config()
+    assert sweep_tool._resolve(cfg, "base.latdim") == (cfg.base, "latdim")
+    assert sweep_tool._resolve(cfg, "train.batch") == (cfg.train, "batch")
+    assert sweep_tool._resolve(cfg, "data.missing_modalities") == (
+        cfg.data, "missing_modalities"
+    )
+
+
+def test_resolve_unknown_field_exits():
+    with pytest.raises(SystemExit):
+        sweep_tool._resolve(Config(), "hyper.not_a_knob")
+
+
+def test_cast_values_uses_field_type():
+    cfg = Config()
+    assert sweep_tool._cast_values(cfg, "hyper.steps", "3,5") == [3, 5]
+    assert sweep_tool._cast_values(cfg, "noise_degree", "0.5,1.5") == [0.5, 1.5]
+    assert sweep_tool._cast_values(cfg, "seed", "7,8") == [7, 8]
+
+
+def test_structural_param_rejected_without_fork():
+    """Sweeping a compile-time constant on a reused Coach would silently
+    keep the old value — the tool must refuse before building anything."""
+    with pytest.raises(SystemExit, match="compile-time"):
+        sweep_tool.main(["--param", "steps", "--values", "3,5"])
+
+
+def test_plan_rejects_structural_param():
+    with pytest.raises(SystemExit, match="compile-time"):
+        sweep_tool.main(["--plan", "steps=3,5"])

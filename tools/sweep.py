@@ -15,6 +15,17 @@ its best-Recall winner before moving to the next (still one compile):
   python tools/sweep.py -c conf/tiktok.toml --epochs 300 \
       --plan "residual_weight=0.2,0.35,0.5;cross_cl_rate=0.25,0.5,0.75" \
       --out sweep_plan.json
+
+Forked mode for compile-time (structural) knobs — diffusion schedule
+constants, scan lengths, widths, feature-synthesis modes. Each value runs
+in its own child process (one compile per value, serialized on the device;
+the parent never initializes a backend). Params may be section-qualified:
+
+  python tools/sweep.py -c conf/tiktok.toml --forked \
+      --param hyper.noise_scale --values 0.1,0.5,1.0 --epochs 300
+
+  python tools/sweep.py -c conf/tiktok.toml --forked \
+      --param data.missing_modalities --values zeros,svd --epochs 300
 """
 
 from __future__ import annotations
@@ -22,14 +33,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from diffmm_tpu.config import load_config
-from diffmm_tpu.data.loader import load_host_data
-from diffmm_tpu.train.coach import Coach
-from diffmm_tpu.utils.logging import Log
 
 
 # All scalar hypers are traced into the jitted phase programs (read from
@@ -44,10 +54,21 @@ DYNAMIC_SAFE = {
 }
 
 
+def _resolve(config, qual: str):
+    """'hyper.steps' / 'base.latdim' / bare 'steps' (hyper by default) ->
+    (section object, field name); raises on unknown fields."""
+    section, _, key = qual.rpartition(".")
+    obj = getattr(config, section) if section else config.hyper
+    if not hasattr(obj, key):
+        raise SystemExit(f"unknown config field {qual!r}")
+    return obj, key
+
+
 def _cast_values(config, param: str, raw: str) -> list:
     if param == "seed":
         return [int(v) for v in raw.split(",")]
-    caster = type(getattr(config.hyper, param))
+    obj, key = _resolve(config, param)
+    caster = type(getattr(obj, key))
     return [caster(v) for v in raw.split(",")]
 
 
@@ -83,27 +104,104 @@ def main(argv=None) -> int:
                         help="coordinate descent: 'p1=v,v,...;p2=v,v,...' — "
                              "each param is fixed at its best-Recall winner "
                              "before the next is swept (overrides --param)")
+    parser.add_argument("--forked", action="store_true",
+                        help="run each value in its own child process — "
+                             "required for compile-time knobs (hyper.steps, "
+                             "hyper.noise_scale, base.*, data.*, train.*); "
+                             "params may be section-qualified")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="SEC.KEY=VAL",
+                        help="config override applied after load (repeatable)")
+    parser.add_argument("--run-once", action="store_true",
+                        help="internal (forked children): train once with the "
+                             "given --set overrides and write the best "
+                             "metrics to --out as JSON")
     parser.add_argument("--epochs", type=int, default=60)
     parser.add_argument("--out", default="sweep_results.json")
     parser.add_argument("--data-root", default=None)
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
+    for override in args.set:
+        qual, _, raw = override.partition("=")
+        obj, key = _resolve(config, qual)
+        caster = type(getattr(obj, key))
+        setattr(obj, key, caster(raw))
+
+    # Validate the requested params BEFORE any device/data work: sweeping a
+    # compile-time constant on a reused Coach would silently keep the old
+    # value, so refuse it up front (forked children recompile per value and
+    # may sweep anything).
+    plan_legs = []
+    if args.plan:
+        for leg in args.plan.split(";"):
+            param, _, raw = leg.partition("=")
+            plan_legs.append((param.strip(), raw))
+    if not args.forked and not args.run_once:
+        for param in [p for p, _ in plan_legs] or [args.param]:
+            if param not in DYNAMIC_SAFE:
+                raise SystemExit(
+                    f"--param {param} is a compile-time constant; sweeping it "
+                    f"on a reused Coach would silently keep the old value. "
+                    f"Use --forked (one child process per value; dynamic-safe "
+                    f"params: {sorted(DYNAMIC_SAFE)})."
+                )
+
+    if args.forked and not args.run_once:
+        # Parent: spawn one child per value, serially (children share one
+        # accelerator). No jax backend is initialized in this process.
+        values = _cast_values(config, args.param, args.values)
+        results = []
+        for value in values:
+            with tempfile.NamedTemporaryFile(
+                mode="r", suffix=".json", delete=False
+            ) as tmp:
+                child_out = tmp.name
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "-c", args.config, "--run-once", "--epochs", str(args.epochs),
+                "--out", child_out,
+                "--set", f"{args.param}={value}",
+            ]
+            for override in args.set:
+                cmd += ["--set", override]
+            if args.data_root:
+                cmd += ["--data-root", args.data_root]
+            print(f"🔁 forked sweep {args.param} = {value}", flush=True)
+            proc = subprocess.run(cmd)
+            if proc.returncode != 0:
+                print(f"child for {args.param}={value} failed "
+                      f"(rc={proc.returncode})", file=sys.stderr)
+                results.append({args.param: value, "error": proc.returncode})
+            else:
+                with open(child_out) as fh:
+                    results.append({args.param: value, **json.load(fh)})
+            os.unlink(child_out)
+            with open(args.out, "w") as fh:  # survive interruption
+                json.dump({"config": args.config, "param": args.param,
+                           "epochs": args.epochs, "forked": True,
+                           "set": args.set, "results": results}, fh, indent=2)
+        print(json.dumps(results))
+        return 0
+
+    from diffmm_tpu.data.loader import load_host_data
+    from diffmm_tpu.train.coach import Coach
+    from diffmm_tpu.utils.logging import Log
+
     host = load_host_data(config, data_root=args.data_root)
     log = Log("sweep", config.data.name)
     coach = Coach(config, host, log=log)
 
+    if args.run_once:
+        best = coach.run(epochs=args.epochs)
+        with open(args.out, "w") as fh:
+            json.dump(best, fh)
+        print(json.dumps(best))
+        return 0
+
     if args.plan:
-        legs = []
-        for leg in args.plan.split(";"):
-            param, _, raw = leg.partition("=")
-            param = param.strip()
-            if param not in DYNAMIC_SAFE:
-                raise SystemExit(
-                    f"plan param {param!r} is a compile-time constant "
-                    f"(dynamic-safe: {sorted(DYNAMIC_SAFE)})"
-                )
-            legs.append((param, _cast_values(config, param, raw)))
+        legs = [(param, _cast_values(config, param, raw))
+                for param, raw in plan_legs]
         report = {"config": args.config, "plan": args.plan,
                   "epochs": args.epochs, "legs": [], "incumbent": {}}
         for li, (param, values) in enumerate(legs):
@@ -122,12 +220,6 @@ def main(argv=None) -> int:
         print(json.dumps(report["incumbent"]))
         return 0
 
-    if args.param not in DYNAMIC_SAFE:
-        raise SystemExit(
-            f"--param {args.param} is a compile-time constant; sweeping it on "
-            f"a reused Coach would silently keep the old value. Run separate "
-            f"processes instead (dynamic-safe params: {sorted(DYNAMIC_SAFE)})."
-        )
     values = _cast_values(config, args.param, args.values)
 
     results = []
