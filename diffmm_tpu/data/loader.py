@@ -113,6 +113,8 @@ def _synthesize_features(
 
         mat = sp.csr_matrix(train, dtype=np.float32)
         k = min(dim, min(mat.shape) - 1)
+        if k < 1:  # degenerate 1-user/1-item matrix: nothing to decompose
+            return np.zeros((item_num, dim), dtype=np.float32)
         # fixed start vector => deterministic Lanczos iteration
         _, s, vt = svds(mat, k=k, v0=np.ones(min(mat.shape), dtype=np.float32))
         feats = (vt.T * s).astype(np.float32)  # (I, k), top directions last

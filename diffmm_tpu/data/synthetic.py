@@ -92,19 +92,31 @@ def make_synthetic_host_data(
     # test set: a few held-out items per user (may overlap train; fine for
     # tests). Structured mode: the highest-affinity NON-train items — the
     # items the latent model says the user would pick next.
-    t_users, t_items = [], []
+    t_users, t_items, t_counts = [], [], []
     for u in range(user_num):
         if affinity is not None:
             order = np.argsort(-affinity[u])
             cand = order[dense[u, order] == 0]
             its = cand[:test_per_user]
+            if its.size < test_per_user:
+                # dense user with almost no held-out items: pad with repeats
+                # of the last candidate (or item 0 if none) so the per-user
+                # lists stay rectangular; test_counts records the true size
+                pad_val = its[-1] if its.size else 0
+                its = np.concatenate(
+                    [its, np.full(test_per_user - its.size, pad_val)]
+                )
+                t_counts.append(max(int(cand[:test_per_user].size), 1))
+            else:
+                t_counts.append(test_per_user)
         else:
             its = rng.choice(item_num, size=test_per_user, replace=False)
+            t_counts.append(test_per_user)
         t_users.append(u)
         t_items.append(its.astype(np.int32))
     test_users = np.array(t_users, dtype=np.int32)
     test_items = np.stack(t_items)
-    test_counts = np.full(user_num, test_per_user, dtype=np.int32)
+    test_counts = np.array(t_counts, dtype=np.int32)
 
     config.data.name = "synthetic"
     config.data.user_num = user_num

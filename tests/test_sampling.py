@@ -43,3 +43,21 @@ def test_negatives_vary_with_key(tiny_data):
         )
     )
     assert (a != b).mean() > 0.5
+
+
+def test_synthetic_structured_dense_users_stay_rectangular():
+    """A near-saturated structured synthetic set leaves some users with
+    fewer than test_per_user held-out candidates; the per-user test lists
+    must stay rectangular (padded with repeats) with test_counts recording
+    the true sizes."""
+    from diffmm_tpu.config import Config
+    from diffmm_tpu.data.synthetic import make_synthetic_host_data
+
+    cfg = Config()
+    host = make_synthetic_host_data(
+        cfg, user_num=6, item_num=5, density=0.9, test_per_user=4,
+        seed=0, structure_rank=2,
+    )
+    assert host.test_items.shape == (6, 4)
+    assert (host.test_counts >= 1).all()
+    assert (host.test_counts <= 4).all()

@@ -57,3 +57,29 @@ def test_structural_param_rejected_without_fork():
 def test_plan_rejects_structural_param():
     with pytest.raises(SystemExit, match="compile-time"):
         sweep_tool.main(["--plan", "steps=3,5"])
+
+
+def test_resolve_bare_seed_maps_to_base():
+    cfg = Config()
+    assert sweep_tool._resolve(cfg, "seed") == (cfg.base, "seed")
+
+
+def test_resolve_unknown_section_exits_cleanly():
+    with pytest.raises(SystemExit, match="unknown config field"):
+        sweep_tool._resolve(Config(), "trian.batch")
+
+
+def test_bool_cast_parses_false():
+    assert sweep_tool._cast(bool, "False") is False
+    assert sweep_tool._cast(bool, "true") is True
+    assert sweep_tool._cast(bool, "0") is False
+    with pytest.raises(SystemExit):
+        sweep_tool._cast(bool, "maybe")
+    cfg = Config()
+    assert sweep_tool._cast_values(cfg, "train.use_lr_scheduler", "True,False") \
+        == [True, False]
+
+
+def test_forked_plan_rejected():
+    with pytest.raises(SystemExit, match="not supported"):
+        sweep_tool.main(["--forked", "--plan", "steps=3,5"])

@@ -79,10 +79,16 @@ def main(argv=None) -> int:
     )
     for (title, param, rows), (ax_r, ax_n) in zip(groups, axes):
         rows = [r for r in rows if "Recall" in r]  # skip failed forked runs
+        ax_r.set_title(title, loc="left", fontsize=10, color=INK)
+        if not rows:
+            for ax in (ax_r, ax_n):
+                ax.text(0.5, 0.5, "no successful runs", ha="center",
+                        va="center", color=MUTED, transform=ax.transAxes)
+                ax.set_xticks([]), ax.set_yticks([])
+            continue
         xs = [r[param] for r in rows]
         _panel(ax_r, xs, [r["Recall"] for r in rows], param, "Recall@20")
         _panel(ax_n, xs, [r["NDCG"] for r in rows], param, "NDCG@20")
-        ax_r.set_title(title, loc="left", fontsize=10, color=INK)
     fig.tight_layout()
     fig.savefig(args.out, dpi=150)
     print(f"wrote {args.out} ({len(groups)} parameter panels)")

@@ -55,21 +55,35 @@ DYNAMIC_SAFE = {
 
 
 def _resolve(config, qual: str):
-    """'hyper.steps' / 'base.latdim' / bare 'steps' (hyper by default) ->
-    (section object, field name); raises on unknown fields."""
+    """'hyper.steps' / 'base.latdim' / bare 'steps' (hyper by default;
+    bare 'seed' maps to base.seed) -> (section object, field name);
+    raises SystemExit on unknown sections/fields."""
     section, _, key = qual.rpartition(".")
-    obj = getattr(config, section) if section else config.hyper
-    if not hasattr(obj, key):
+    if not section and key == "seed":
+        section = "base"
+    obj = getattr(config, section, None) if section else config.hyper
+    if obj is None or not hasattr(obj, key):
         raise SystemExit(f"unknown config field {qual!r}")
     return obj, key
 
 
+def _cast(caster: type, raw):
+    """Cast a CLI string to a config field's type; bool gets real parsing
+    (bool('False') is True — the default caster would mangle flags)."""
+    if caster is bool and isinstance(raw, str):
+        low = raw.strip().lower()
+        if low in ("true", "1", "yes", "on"):
+            return True
+        if low in ("false", "0", "no", "off"):
+            return False
+        raise SystemExit(f"not a boolean: {raw!r}")
+    return caster(raw)
+
+
 def _cast_values(config, param: str, raw: str) -> list:
-    if param == "seed":
-        return [int(v) for v in raw.split(",")]
     obj, key = _resolve(config, param)
     caster = type(getattr(obj, key))
-    return [caster(v) for v in raw.split(",")]
+    return [_cast(caster, v) for v in raw.split(",")]
 
 
 def _sweep_one(coach, config, log, param, values, epochs, *, fresh: bool):
@@ -121,12 +135,18 @@ def main(argv=None) -> int:
     parser.add_argument("--data-root", default=None)
     args = parser.parse_args(argv)
 
+    if args.forked and args.plan:
+        raise SystemExit(
+            "--plan is not supported with --forked (the plan's reused-Coach "
+            "coordinate descent is exactly what forking avoids); run forked "
+            "sweeps one param at a time and carry winners via --set"
+        )
+
     config = load_config(args.config)
     for override in args.set:
         qual, _, raw = override.partition("=")
         obj, key = _resolve(config, qual)
-        caster = type(getattr(obj, key))
-        setattr(obj, key, caster(raw))
+        setattr(obj, key, _cast(type(getattr(obj, key)), raw))
 
     # Validate the requested params BEFORE any device/data work: sweeping a
     # compile-time constant on a reused Coach would silently keep the old
