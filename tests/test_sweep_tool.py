@@ -83,3 +83,9 @@ def test_bool_cast_parses_false():
 def test_forked_plan_rejected():
     with pytest.raises(SystemExit, match="not supported"):
         sweep_tool.main(["--forked", "--plan", "steps=3,5"])
+
+
+def test_qualified_dynamic_safe_params_accepted():
+    assert "train.lr" in sweep_tool.DYNAMIC_SAFE
+    cfg = Config()
+    assert sweep_tool._cast_values(cfg, "train.lr", "0.001,0.002") == [0.001, 0.002]

@@ -44,13 +44,15 @@ from diffmm_tpu.config import load_config
 
 # All scalar hypers are traced into the jitted phase programs (read from
 # config each epoch), so sweeping them on a reused Coach is recompile-
-# free; "seed" re-initializes via Coach.reset. Only structural knobs
-# (cl_method, steps, denoise_dim, latdim, graph_form, ...) need a fresh
-# process.
+# free; "seed" re-initializes via Coach.reset; the LR is threaded into the
+# steps as a runtime scalar (train/optim.py), so the base LR and the
+# regularization weight are dynamic too. Only structural knobs (cl_method,
+# steps, denoise_dim, latdim, graph_form, ...) need a fresh process.
 DYNAMIC_SAFE = {
     "sampling_step", "seed", "sim_weight", "noise_degree",
     "cross_cl_temp", "cross_cl_rate", "modal_cl_temp", "modal_cl_rate",
     "modal_adj_weight", "residual_weight",
+    "train.lr", "train.reg",
 }
 
 
@@ -99,7 +101,8 @@ def _sweep_one(coach, config, log, param, values, epochs, *, fresh: bool):
         else:
             if i > 0 or fresh:
                 coach.reset()
-            setattr(config.hyper, param, value)
+            obj, key = _resolve(config, param)
+            setattr(obj, key, value)
         log.info(f"🔁 sweep {param} = {value}")
         best = coach.run(epochs=epochs)
         rows.append({param: value, **best})
@@ -229,7 +232,8 @@ def main(argv=None) -> int:
                               args.epochs, fresh=li > 0)
             best = max(rows, key=lambda r: r["Recall"])
             if param != "seed":
-                setattr(config.hyper, param, best[param])
+                obj, key = _resolve(config, param)
+                setattr(obj, key, best[param])
                 report["incumbent"][param] = best[param]
             report["legs"].append({"param": param, "results": rows,
                                    "winner": best})
