@@ -112,9 +112,14 @@ class TrainConfig:
     gnn_layer: int = 1
     use_lr_scheduler: bool = True
     # TPU-specific: graph propagation form — "auto" picks the dense MXU
-    # matmul path while the bf16 interaction blocks fit an HBM budget,
+    # matmul path while the interaction blocks fit an HBM budget,
     # otherwise segment-sum SpMM; "dense"/"sparse" force one.
     graph_form: str = "auto"
+    # Storage dtype of the dense 0/1 interaction blocks: "int8" halves the
+    # HBM bytes of every propagation pass (converted to bf16 on the MXU
+    # read; 0/1 are exact in both, so results are bit-identical) and
+    # doubles the catalog size the dense form covers.
+    dense_store: str = "bf16"
 
 
 @dataclass

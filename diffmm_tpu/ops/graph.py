@@ -34,7 +34,7 @@ round-trips entirely).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -242,19 +242,22 @@ def build_dense_bi_adj_device(
     user_num: int,
     item_num: int,
     rows_sorted: bool = True,
+    store_dtype: Any = jnp.bfloat16,
 ) -> DenseBiAdj:
     """Dense-form adjacency from (possibly sentinel-padded) device edges.
 
     Sentinel entries (user_num, item_num) drop from both the scatter and the
-    degree segment_sums.
+    degree segment_sums. ``store_dtype``: HBM storage of the 0/1 block —
+    int8 halves the bytes of every propagation pass (the matmul converts to
+    bf16 on read; 0 and 1 are exact in both, so the math is bit-identical).
     """
     ones = jnp.ones_like(ui_rows, dtype=jnp.float32)
     deg_u = jax.ops.segment_sum(
         ones, ui_rows, num_segments=user_num, indices_are_sorted=rows_sorted
     )
     deg_i = jax.ops.segment_sum(ones, ui_cols, num_segments=item_num)
-    mat = jnp.zeros((user_num, item_num), dtype=jnp.bfloat16)
-    mat = mat.at[ui_rows, ui_cols].set(jnp.bfloat16(1.0), mode="drop")
+    mat = jnp.zeros((user_num, item_num), dtype=store_dtype)
+    mat = mat.at[ui_rows, ui_cols].set(jnp.ones((), dtype=store_dtype), mode="drop")
     return DenseBiAdj(
         mat=mat,
         s_user=jax.lax.rsqrt(deg_u + 1.0),
@@ -356,14 +359,19 @@ def _spmm_bi_dense(adj: DenseBiAdj, x_user: jax.Array, x_item: jax.Array):
         tu = pick_tu(adj.user_num, adj.item_num, x_user.shape[1])
         m_u, m_i = spmm_dual(adj.mat, z_u32, z_i32, tu)
     else:
+        # int8-stored blocks convert on read (0/1 exact in both dtypes —
+        # identical results, half the HBM traffic of the dominant operand)
+        mat = adj.mat
+        if mat.dtype != jnp.bfloat16:
+            mat = mat.astype(jnp.bfloat16)
         z_u = z_u32.astype(jnp.bfloat16)
         z_i = z_i32.astype(jnp.bfloat16)
         m_u = jax.lax.dot_general(
-            adj.mat, z_i, (((1,), (0,)), ((), ())),
+            mat, z_i, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_i = jax.lax.dot_general(
-            adj.mat, z_u, (((0,), (0,)), ((), ())),
+            mat, z_u, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     y_u = adj.s_user[:, None] * (m_u + z_u32)

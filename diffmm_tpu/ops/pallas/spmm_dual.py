@@ -42,6 +42,8 @@ def _dual_kernel(mat_ref, zi_ref, zu_ref, yu_ref, yi_ref):
         yi_ref[:, :] = jnp.zeros_like(yi_ref)
 
     mat = mat_ref[:, :]
+    if mat.dtype != jnp.bfloat16:  # int8-stored block: convert in VMEM
+        mat = mat.astype(jnp.bfloat16)
     yu_ref[:, :] = jnp.dot(mat, zi_ref[:, :], preferred_element_type=jnp.float32)
     yi_ref[:, :] += jax.lax.dot_general(
         mat,

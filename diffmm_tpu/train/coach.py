@@ -43,7 +43,7 @@ _build_adj_jit = partial(
     jax.jit, static_argnames=("user_num", "item_num", "rows_sorted")
 )(build_bi_adj_device)
 _build_dense_adj_jit = partial(
-    jax.jit, static_argnames=("user_num", "item_num", "rows_sorted")
+    jax.jit, static_argnames=("user_num", "item_num", "rows_sorted", "store_dtype")
 )(build_dense_bi_adj_device)
 
 # The dense MXU graph form is selected automatically while the bf16
@@ -55,11 +55,14 @@ DENSE_GRAPH_BUDGET_BYTES = 4 << 30
 
 
 def choose_graph_form(
-    form: str, n_modal: int, user_num: int, item_num: int, model_parallel: int = 1
+    form: str, n_modal: int, user_num: int, item_num: int,
+    model_parallel: int = 1, bytes_per_cell: int = 2,
 ) -> bool:
-    """True -> dense MXU form. ``form``: auto|dense|sparse (validated)."""
+    """True -> dense MXU form. ``form``: auto|dense|sparse (validated).
+    ``bytes_per_cell``: dense-block storage width (2 for the bf16 default,
+    1 for int8 — which covers twice the catalog)."""
     if form == "auto":
-        bytes_needed = (n_modal + 1) * user_num * item_num * 2
+        bytes_needed = (n_modal + 1) * user_num * item_num * bytes_per_cell
         return bytes_needed <= DENSE_GRAPH_BUDGET_BYTES * max(model_parallel, 1)
     if form in ("dense", "sparse"):
         return form == "dense"
@@ -99,9 +102,19 @@ class Coach:
         from diffmm_tpu.parallel.mesh import MODEL_AXIS
 
         model_parallel = mesh.shape[MODEL_AXIS] if mesh is not None else 1
+        if config.train.dense_store == "int8":
+            self.dense_store_dtype = jnp.int8
+        elif config.train.dense_store == "bf16":
+            self.dense_store_dtype = jnp.bfloat16
+        else:
+            raise ValueError(
+                f"train.dense_store must be int8|bf16, got "
+                f"{config.train.dense_store!r}"
+            )
         self.dense_graphs = choose_graph_form(
             config.train.graph_form, self.n_modal, host.user_num,
             host.item_num, model_parallel,
+            bytes_per_cell=jnp.dtype(self.dense_store_dtype).itemsize,
         )
 
         if device is not None:
@@ -304,10 +317,17 @@ class Coach:
 
     def _make_adj(self, rows: jax.Array, cols: jax.Array):
         """Build a normalized adjacency in the run's chosen graph form."""
-        build = _build_dense_adj_jit if self.dense_graphs else _build_adj_jit
-        adj = build(
-            rows, cols, user_num=self.host.user_num, item_num=self.host.item_num
-        )
+        if self.dense_graphs:
+            adj = _build_dense_adj_jit(
+                rows, cols, user_num=self.host.user_num,
+                item_num=self.host.item_num,
+                store_dtype=self.dense_store_dtype,
+            )
+        else:
+            adj = _build_adj_jit(
+                rows, cols, user_num=self.host.user_num,
+                item_num=self.host.item_num,
+            )
         if self.mesh is not None and self.dense_graphs:
             from diffmm_tpu.parallel.sharding import (
                 catalog_sharded_or_replicated,

@@ -75,15 +75,54 @@ def test_auto_picks_dense_for_tiny(tiny_config, tiny_data):
 def test_choose_graph_form_scales_with_model_axis():
     from diffmm_tpu.train.coach import DENSE_GRAPH_BUDGET_BYTES, choose_graph_form
 
-    # a shape just past the single-device budget
+    # a shape just past the single-device budget (bf16-stored blocks)
     U = 60000
     I = (DENSE_GRAPH_BUDGET_BYTES // (3 * U * 2)) + 100
-    assert not choose_graph_form("auto", 2, U, I, model_parallel=1)
+    assert not choose_graph_form("auto", 2, U, I, model_parallel=1, bytes_per_cell=2)
     # catalog-sharding over 4 model-axis devices lifts the budget
-    assert choose_graph_form("auto", 2, U, I, model_parallel=4)
+    assert choose_graph_form("auto", 2, U, I, model_parallel=4, bytes_per_cell=2)
     assert choose_graph_form("dense", 2, U, I, 1)
     assert not choose_graph_form("sparse", 2, 10, 10, 8)
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="auto\\|dense\\|sparse"):
         choose_graph_form("Dense", 2, 10, 10, 1)
+
+
+def test_int8_store_bit_identical_to_bf16(tiny_data):
+    """int8-stored dense blocks convert to bf16 on the matmul read; 0/1 are
+    exact in both dtypes, so forward results must be bit-identical while the
+    stored block is half the bytes."""
+    rows = jnp.asarray(tiny_data.train_rows)
+    cols = jnp.asarray(tiny_data.train_cols)
+    U, I = tiny_data.user_num, tiny_data.item_num
+    d16 = build_dense_bi_adj_device(rows, cols, user_num=U, item_num=I,
+                                    store_dtype=jnp.bfloat16)
+    d8 = build_dense_bi_adj_device(rows, cols, user_num=U, item_num=I,
+                                   store_dtype=jnp.int8)
+    assert d8.mat.dtype == jnp.int8 and d16.mat.dtype == jnp.bfloat16
+    rng = np.random.default_rng(3)
+    xu = jnp.asarray(rng.standard_normal((U, 16)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((I, 16)).astype(np.float32))
+    yu16, yi16 = spmm_bi(d16, xu, xi)
+    yu8, yi8 = spmm_bi(d8, xu, xi)
+    np.testing.assert_array_equal(np.asarray(yu8), np.asarray(yu16))
+    np.testing.assert_array_equal(np.asarray(yi8), np.asarray(yi16))
+
+
+def test_dense_store_config_validated(tiny_config, tiny_data):
+    cfg = copy.deepcopy(tiny_config)
+    cfg.train.dense_store = "fp8"
+    with pytest.raises(ValueError, match="dense_store"):
+        Coach(cfg, tiny_data)
+
+
+def test_int8_budget_covers_twice_the_catalog():
+    from diffmm_tpu.train.coach import DENSE_GRAPH_BUDGET_BYTES, choose_graph_form
+
+    # a shape that fits at 1 byte/cell but not at 2
+    cells = DENSE_GRAPH_BUDGET_BYTES // 4  # (n_modal+1) == 4
+    u = 1 << 15
+    i = cells // u
+    assert choose_graph_form("auto", 3, u, i, bytes_per_cell=1)
+    assert not choose_graph_form("auto", 3, u, i, bytes_per_cell=2)
