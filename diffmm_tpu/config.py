@@ -116,9 +116,10 @@ class TrainConfig:
     # otherwise segment-sum SpMM; "dense"/"sparse" force one.
     graph_form: str = "auto"
     # Storage dtype of the dense 0/1 interaction blocks: "int8" halves the
-    # HBM bytes of every propagation pass (converted to bf16 on the MXU
-    # read; 0/1 are exact in both, so results are bit-identical) and
-    # doubles the catalog size the dense form covers.
+    # stored bytes of the workload's dominant operand (converted to bf16 at
+    # the matmul; 0/1 are exact in both, so results are bit-identical).
+    # The auto graph-form budget stays at bf16 width either way until the
+    # convert is measured fused on the target hardware (train/coach.py).
     dense_store: str = "bf16"
 
 

@@ -218,7 +218,9 @@ class DenseBiAdj(NamedTuple):
     path remains the general fallback for web-scale catalogs.
 
     Attributes:
-      mat: (U, I) bf16 0/1 interaction matrix (no normalization folded in).
+      mat: (U, I) 0/1 interaction matrix (no normalization folded in);
+        stored bf16 or int8 (``train.dense_store`` — int8 halves the bytes,
+        converted to bf16 at the matmul, bit-identical results).
       s_user: (U,) f32 ``(deg_u + 1)^-1/2``.
       s_item: (I,) f32 ``(deg_i + 1)^-1/2``.
     """

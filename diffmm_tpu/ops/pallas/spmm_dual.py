@@ -66,7 +66,12 @@ def _dual_call(
     Up = _round_up(U, tu)
     Ip = _round_up(I, 128)
     dp = _round_up(d, 128)
-    matp = jnp.pad(mat.astype(jnp.bfloat16), ((0, Up - U), (0, Ip - I)))
+    # int8-stored adjacencies stay int8 into the kernel (converted per-block
+    # in VMEM, _dual_kernel) so the HBM read is half-width; bf16 passes
+    # through unchanged. f32 inputs round here.
+    if mat.dtype not in (jnp.bfloat16, jnp.int8):
+        mat = mat.astype(jnp.bfloat16)
+    matp = jnp.pad(mat, ((0, Up - U), (0, Ip - I)))
     zup = jnp.pad(z_u.astype(jnp.bfloat16), ((0, Up - U), (0, dp - d)))
     zip_ = jnp.pad(z_i.astype(jnp.bfloat16), ((0, Ip - I), (0, dp - d)))
 
@@ -91,7 +96,8 @@ def _dual_call(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * Up * Ip * dp,
-            bytes_accessed=Up * Ip * 2 + (Up + Ip) * dp * 2 + (Up + Ip) * dp * 4,
+            bytes_accessed=Up * Ip * matp.dtype.itemsize
+            + (Up + Ip) * dp * 2 + (Up + Ip) * dp * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -113,9 +119,15 @@ def _spmm_dual_bwd(tu, interpret, mat, cotangents):
     g_u, g_i = cotangents  # cotangents of (y_u, y_i)
     # dz_u = M @ ḡ_i ; dz_i = Mᵀ @ ḡ_u — the same dual contraction, swapped
     dz_u, dz_i = _dual_call(mat, g_u, g_i, tu=tu, interpret=interpret)
-    # the adjacency is data (never differentiated); the symbolic zero is
-    # DCE'd by XLA when unused
-    return jnp.zeros_like(mat), dz_u, dz_i
+    # the adjacency is data (never differentiated); integer storage takes
+    # the float0 symbolic zero JAX requires, floats a DCE'd zeros
+    if jnp.issubdtype(mat.dtype, jnp.integer):
+        import numpy as onp
+
+        dmat = onp.zeros(mat.shape, dtype=jax.dtypes.float0)
+    else:
+        dmat = jnp.zeros_like(mat)
+    return dmat, dz_u, dz_i
 
 
 spmm_dual.defvjp(_spmm_dual_fwd, _spmm_dual_bwd)

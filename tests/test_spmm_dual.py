@@ -51,3 +51,27 @@ def test_gradients_match(rng):
 def test_vmem_gate():
     assert dual_fits_vmem(9308, 6710, 64)  # tiktok fits
     assert not dual_fits_vmem(100000, 80000, 64)  # yelp-ish does not
+
+
+def test_int8_mat_converts_in_kernel(rng):
+    """int8-stored adjacencies enter the kernel as int8 (half-width HBM
+    read) and convert per block in VMEM — results bit-match the bf16 path,
+    and gradients flow (integer input takes a float0 tangent)."""
+    U, I, d = 70, 50, 16
+    mask = (rng.random((U, I)) < 0.1)
+    mat8 = jnp.asarray(mask.astype(np.int8))
+    mat16 = jnp.asarray(mask.astype(np.float32)).astype(jnp.bfloat16)
+    z_u = jnp.asarray(rng.standard_normal((U, d)).astype(np.float32))
+    z_i = jnp.asarray(rng.standard_normal((I, d)).astype(np.float32))
+    yu8, yi8 = _dual_call(mat8, z_u, z_i, tu=32, interpret=True)
+    yu16, yi16 = _dual_call(mat16, z_u, z_i, tu=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(yu8), np.asarray(yu16))
+    np.testing.assert_array_equal(np.asarray(yi8), np.asarray(yi16))
+
+    def loss(zu, zi):
+        a, b = spmm_dual(mat8, zu, zi, 32, True)
+        return jnp.sum(a) + jnp.sum(b)
+
+    gu, gi = jax.grad(loss, argnums=(0, 1))(z_u, z_i)
+    assert np.isfinite(np.asarray(gu)).all()
+    assert np.isfinite(np.asarray(gi)).all()

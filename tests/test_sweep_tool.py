@@ -89,3 +89,24 @@ def test_qualified_dynamic_safe_params_accepted():
     assert "train.lr" in sweep_tool.DYNAMIC_SAFE
     cfg = Config()
     assert sweep_tool._cast_values(cfg, "train.lr", "0.001,0.002") == [0.001, 0.002]
+
+
+def test_dynamic_safe_is_spelling_independent():
+    cfg = Config()
+    assert sweep_tool._is_dynamic_safe(cfg, "sim_weight")
+    assert sweep_tool._is_dynamic_safe(cfg, "hyper.sim_weight")
+    assert sweep_tool._is_dynamic_safe(cfg, "train.lr")
+    assert sweep_tool._is_dynamic_safe(cfg, "seed")
+    assert not sweep_tool._is_dynamic_safe(cfg, "steps")
+    assert not sweep_tool._is_dynamic_safe(cfg, "hyper.noise_scale")
+
+
+def test_plan_accepts_qualified_dynamic_param():
+    """Qualified spellings of dynamic-safe params must not be refused.
+    Setting a bogus dataset name makes the host-data load fail right after
+    the guard, so the sweep never actually trains."""
+    with pytest.raises(Exception) as exc:
+        sweep_tool.main(["-c", "conf/test.toml",
+                         "--set", "data.name=no_such_dataset",
+                         "--plan", "hyper.sim_weight=0.01"])
+    assert "compile-time" not in str(exc.value)

@@ -56,6 +56,15 @@ DYNAMIC_SAFE = {
 }
 
 
+def _is_dynamic_safe(config, param: str) -> bool:
+    """Spelling-independent: 'hyper.sim_weight' == 'sim_weight' etc."""
+    obj, key = _resolve(config, param)
+    for name in (key, f"hyper.{key}", f"train.{key}", f"base.{key}"):
+        if name in DYNAMIC_SAFE and _resolve(config, name) == (obj, key):
+            return True
+    return False
+
+
 def _resolve(config, qual: str):
     """'hyper.steps' / 'base.latdim' / bare 'steps' (hyper by default;
     bare 'seed' maps to base.seed) -> (section object, field name);
@@ -124,8 +133,11 @@ def main(argv=None) -> int:
     parser.add_argument("--forked", action="store_true",
                         help="run each value in its own child process — "
                              "required for compile-time knobs (hyper.steps, "
-                             "hyper.noise_scale, base.*, data.*, train.*); "
-                             "params may be section-qualified")
+                             "hyper.noise_scale, base.latdim, "
+                             "data.missing_modalities, train.batch, ...); "
+                             "dynamic hypers and train.lr/train.reg sweep "
+                             "recompile-free WITHOUT this flag; params may "
+                             "be section-qualified")
     parser.add_argument("--set", action="append", default=[],
                         metavar="SEC.KEY=VAL",
                         help="config override applied after load (repeatable)")
@@ -162,7 +174,7 @@ def main(argv=None) -> int:
             plan_legs.append((param.strip(), raw))
     if not args.forked and not args.run_once:
         for param in [p for p, _ in plan_legs] or [args.param]:
-            if param not in DYNAMIC_SAFE:
+            if not _is_dynamic_safe(config, param):
                 raise SystemExit(
                     f"--param {param} is a compile-time constant; sweeping it "
                     f"on a reused Coach would silently keep the old value. "
