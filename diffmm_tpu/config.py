@@ -115,12 +115,12 @@ class TrainConfig:
     # matmul path while the interaction blocks fit an HBM budget,
     # otherwise segment-sum SpMM; "dense"/"sparse" force one.
     graph_form: str = "auto"
-    # Storage dtype of the dense 0/1 interaction blocks: "int8" halves the
-    # stored bytes of the workload's dominant operand (converted to bf16 at
-    # the matmul; 0/1 are exact in both, so results are bit-identical).
-    # The auto graph-form budget stays at bf16 width either way until the
-    # convert is measured fused on the target hardware (train/coach.py).
-    dense_store: str = "bf16"
+    # Storage dtype of the dense 0/1 interaction blocks. "int8" (default)
+    # halves the HBM bytes of the workload's dominant operand — measured
+    # 0.585 vs 0.737 s/epoch (1.26x) on v5e/tiktok, with the int8->bf16
+    # convert fused into the matmuls (no materialized copy) and
+    # bit-identical results (0/1 exact in both dtypes). "bf16" opts out.
+    dense_store: str = "int8"
 
 
 @dataclass

