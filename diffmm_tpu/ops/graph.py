@@ -322,16 +322,20 @@ def _propagate_sorted(z, rows, cols, perm, bwd_rows, n_out, n_src, fwd_plan, bwd
     )
 
 
-def _use_dual_kernel(user_num: int, item_num: int, d: int) -> bool:
+def _use_dual_kernel(
+    user_num: int, item_num: int, d: int, mat_itemsize: int = 2
+) -> bool:
     """Trace-time gate for the fused dual-direction Pallas SpMM: TPU backend,
     working set fits VMEM; DIFFMM_SPMM=dual|two_pass overrides."""
     import os
 
-    # Measured on v5e/tiktok: epoch time is a wash vs the two XLA matmuls —
-    # the VMEM budget forces 128-row M blocks, whose per-step overhead eats
-    # the halved adjacency traffic. Default is therefore the two-pass XLA
-    # path; DIFFMM_SPMM=dual opts the fused kernel in (it is exact-parity
-    # tested and may win at other shapes).
+    # Measured on v5e/tiktok (bf16 era): epoch time was a wash vs the two
+    # XLA matmuls — the VMEM budget forced 128-row M blocks, whose per-step
+    # overhead ate the halved adjacency traffic. Re-measured with int8
+    # storage (2x the block at the same budget): 0.697 vs 0.564 s/epoch —
+    # the XLA two-pass path with its fused int8 reads still wins, so the
+    # default stays two_pass; DIFFMM_SPMM=dual opts the fused kernel in
+    # (exact-parity tested, may win at other shapes).
     mode = os.environ.get("DIFFMM_SPMM", "two_pass")
     if mode != "dual":
         return False
@@ -340,7 +344,7 @@ def _use_dual_kernel(user_num: int, item_num: int, d: int) -> bool:
         return False
     from diffmm_tpu.ops.pallas.spmm_dual import dual_fits_vmem
 
-    return dual_fits_vmem(user_num, item_num, d)
+    return dual_fits_vmem(user_num, item_num, d, mat_itemsize)
 
 
 def _spmm_bi_dense(adj: DenseBiAdj, x_user: jax.Array, x_item: jax.Array):
@@ -355,10 +359,11 @@ def _spmm_bi_dense(adj: DenseBiAdj, x_user: jax.Array, x_item: jax.Array):
     """
     z_u32 = x_user * adj.s_user[:, None]
     z_i32 = x_item * adj.s_item[:, None]
-    if _use_dual_kernel(adj.user_num, adj.item_num, x_user.shape[1]):
+    itemsize = adj.mat.dtype.itemsize
+    if _use_dual_kernel(adj.user_num, adj.item_num, x_user.shape[1], itemsize):
         from diffmm_tpu.ops.pallas.spmm_dual import pick_tu, spmm_dual
 
-        tu = pick_tu(adj.user_num, adj.item_num, x_user.shape[1])
+        tu = pick_tu(adj.user_num, adj.item_num, x_user.shape[1], itemsize)
         m_u, m_i = spmm_dual(adj.mat, z_u32, z_i32, tu)
     else:
         # int8-stored blocks convert on read (0/1 exact in both dtypes —

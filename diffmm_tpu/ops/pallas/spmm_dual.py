@@ -133,20 +133,25 @@ def _spmm_dual_bwd(tu, interpret, mat, cotangents):
 spmm_dual.defvjp(_spmm_dual_fwd, _spmm_dual_bwd)
 
 
-def pick_tu(user_num: int, item_num: int, d: int) -> int | None:
+def pick_tu(
+    user_num: int, item_num: int, d: int, mat_itemsize: int = 2
+) -> int | None:
     """Largest U row-tile whose working set fits a conservative VMEM budget
-    (None -> the fused kernel does not apply; use the two-pass path)."""
+    (None -> the fused kernel does not apply; use the two-pass path).
+    int8-stored adjacencies (``mat_itemsize=1``) halve the row-block bytes,
+    admitting a 2x larger tile at the same budget."""
     ip = _round_up(item_num, 128)
     dp = _round_up(d, 128)
     yi_acc = ip * dp * 4
     zi = ip * dp * 2
     for tu in (512, 256, 128):
-        mat_blk = tu * ip * 2  # bf16 row-block, double-buffered
+        mat_blk = tu * ip * mat_itemsize  # row-block, double-buffered
         zu_yu = 2 * tu * dp * 6
         if 2 * mat_blk + yi_acc + zi + zu_yu <= 12 * 1024 * 1024:
             return tu
     return None
 
 
-def dual_fits_vmem(user_num: int, item_num: int, d: int) -> bool:
-    return pick_tu(user_num, item_num, d) is not None
+def dual_fits_vmem(user_num: int, item_num: int, d: int,
+                   mat_itemsize: int = 2) -> bool:
+    return pick_tu(user_num, item_num, d, mat_itemsize) is not None
