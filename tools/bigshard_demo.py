@@ -74,8 +74,11 @@ def main(argv=None) -> int:
 
     mesh = make_mesh(args.devices, model_parallel=args.model)
     data = shard_device_data(to_device(host, with_sparse_adj=False), mesh)
+    import jax.numpy as jnp
+
     adj = build_dense_bi_adj_device(
-        data.train_rows, data.train_cols, host.user_num, host.item_num
+        data.train_rows, data.train_cols, host.user_num, host.item_num,
+        store_dtype=jnp.int8,  # the production default: half the bytes/cell
     )
     adj = adj._replace(
         mat=jax.device_put(adj.mat, catalog_sharded_or_replicated(adj.mat, mesh))
