@@ -138,16 +138,20 @@ def pick_tu(
 ) -> int | None:
     """Largest U row-tile whose working set fits a conservative VMEM budget
     (None -> the fused kernel does not apply; use the two-pass path).
-    int8-stored adjacencies (``mat_itemsize=1``) halve the row-block bytes,
-    admitting a 2x larger tile at the same budget."""
+    int8-stored adjacencies (``mat_itemsize=1``) halve the HBM bytes of the
+    row-block reads, but the kernel's in-VMEM bf16 conversion costs
+    ``tu*ip*2`` alongside the double-buffered storage tiles, so the VMEM
+    working set is counted in full — int8 buys traffic, not tile size."""
     ip = _round_up(item_num, 128)
     dp = _round_up(d, 128)
     yi_acc = ip * dp * 4
     zi = ip * dp * 2
     for tu in (512, 256, 128):
         mat_blk = tu * ip * mat_itemsize  # row-block, double-buffered
+        # non-bf16 tiles convert in VMEM before the MXU dots (a bf16 copy)
+        converted = tu * ip * 2 if mat_itemsize != 2 else 0
         zu_yu = 2 * tu * dp * 6
-        if 2 * mat_blk + yi_acc + zi + zu_yu <= 12 * 1024 * 1024:
+        if 2 * mat_blk + converted + yi_acc + zi + zu_yu <= 12 * 1024 * 1024:
             return tu
     return None
 

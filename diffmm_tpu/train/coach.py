@@ -64,6 +64,12 @@ def choose_graph_form(
     1 for int8 — which covers twice the catalog)."""
     if form == "auto":
         bytes_needed = (n_modal + 1) * user_num * item_num * bytes_per_cell
+        if bytes_per_cell == 1:
+            # int8 storage: reserve for ONE transient bf16 operand copy in
+            # case XLA materializes (rather than fuses) the convert at this
+            # shape — fusion is a scheduling choice, not a contract, and
+            # the temporary is reused across the (n_modal+1) graphs.
+            bytes_needed += user_num * item_num * 2
         return bytes_needed <= DENSE_GRAPH_BUDGET_BYTES * max(model_parallel, 1)
     if form in ("dense", "sparse"):
         return form == "dense"

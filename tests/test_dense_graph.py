@@ -118,13 +118,25 @@ def test_dense_store_config_validated(tiny_config, tiny_data):
 
 
 def test_budget_respects_bytes_per_cell():
+    """int8 admission (4 graphs x 1 B + one 2 B temporary = 6 B/cell
+    effective) covers shapes the bf16 form (8 B/cell) rejects."""
     from diffmm_tpu.train.coach import DENSE_GRAPH_BUDGET_BYTES, choose_graph_form
 
-    # a shape that fits at 1 byte/cell but not at 2 (int8 storage can
-    # cover it once the fused convert is verified; the Coach currently
-    # budgets conservatively at 2 either way — see coach.py)
-    cells = DENSE_GRAPH_BUDGET_BYTES // 4  # (n_modal+1) == 4
     u = 1 << 15
-    i = cells // u
+    i = DENSE_GRAPH_BUDGET_BYTES // (7 * u)  # between 6 and 8 B/cell
     assert choose_graph_form("auto", 3, u, i, bytes_per_cell=1)
     assert not choose_graph_form("auto", 3, u, i, bytes_per_cell=2)
+
+
+def test_int8_budget_reserves_convert_temporary():
+    """int8 'auto' admission reserves one transient bf16 operand copy in
+    case XLA materializes the convert — a shape whose int8 storage alone
+    fits but storage+temporary does not must stay sparse."""
+    from diffmm_tpu.train.coach import DENSE_GRAPH_BUDGET_BYTES, choose_graph_form
+
+    u = 1 << 15
+    # (n_modal+1)=4 graphs at 1 B/cell + one 2 B/cell temporary = 6 B/cell
+    i_fits = DENSE_GRAPH_BUDGET_BYTES // (6 * u) - 16
+    i_edge = DENSE_GRAPH_BUDGET_BYTES // (4 * u) - 16  # storage-only math
+    assert choose_graph_form("auto", 3, u, i_fits, bytes_per_cell=1)
+    assert not choose_graph_form("auto", 3, u, i_edge, bytes_per_cell=1)

@@ -75,3 +75,21 @@ def test_int8_mat_converts_in_kernel(rng):
     gu, gi = jax.grad(loss, argnums=(0, 1))(z_u, z_i)
     assert np.isfinite(np.asarray(gu)).all()
     assert np.isfinite(np.asarray(gi)).all()
+
+
+def test_vmem_gate_counts_the_converted_copy():
+    """int8 tiles convert to bf16 in VMEM, so the admitted tile must not be
+    larger than the bf16 case would allow — int8 buys HBM traffic, not tile
+    size (the converted copy costs what the bf16 tile would)."""
+    from diffmm_tpu.ops.pallas.spmm_dual import pick_tu
+
+    tu_bf16 = pick_tu(9308, 6710, 64, 2)
+    tu_int8 = pick_tu(9308, 6710, 64, 1)
+    assert tu_int8 is not None and tu_bf16 is not None
+    assert tu_int8 <= 512 and tu_int8 >= tu_bf16  # never smaller, bounded
+    # the int8 working set (2 storage tiles + 1 bf16 copy) must fit the
+    # same 12 MiB budget the gate promises
+    ip = ((6710 + 127) // 128) * 128
+    dp = 128
+    assert (2 * tu_int8 * ip * 1 + tu_int8 * ip * 2
+            + ip * dp * 4 + ip * dp * 2 + 2 * tu_int8 * dp * 6) <= 12 << 20

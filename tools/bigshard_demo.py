@@ -74,11 +74,11 @@ def main(argv=None) -> int:
 
     mesh = make_mesh(args.devices, model_parallel=args.model)
     data = shard_device_data(to_device(host, with_sparse_adj=False), mesh)
-    import jax.numpy as jnp
-
+    # same storage mapping Coach applies from train.dense_store
+    store_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16}[cfg.train.dense_store]
     adj = build_dense_bi_adj_device(
         data.train_rows, data.train_cols, host.user_num, host.item_num,
-        store_dtype=jnp.int8,  # the production default: half the bytes/cell
+        store_dtype=store_dtype,
     )
     adj = adj._replace(
         mat=jax.device_put(adj.mat, catalog_sharded_or_replicated(adj.mat, mesh))
@@ -100,7 +100,7 @@ def main(argv=None) -> int:
               f"per-device {shard/2**20:9.1f} MiB   x{x.nbytes//shard}")
 
     print("catalog-dim buffers on the mesh:")
-    report("dense adjacency (U+1, I+1) f32", adj.mat)
+    report(f"dense adjacency (U, I) {adj.mat.dtype}", adj.mat)
     report("train_dense (U, I) int8", data.train_dense)
     report("i_embs (I, d)", gcn["i_embs"])
     report("denoiser in w (I+demb, H)", dns[0]["in_layers"][0]["w"])
