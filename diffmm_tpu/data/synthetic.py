@@ -98,17 +98,16 @@ def make_synthetic_host_data(
             order = np.argsort(-affinity[u])
             cand = order[dense[u, order] == 0]
             its = cand[:test_per_user]
+            # dense user with almost no held-out items: pad with the -1
+            # sentinel (loader.py pads -1; eval masks test_items >= 0 —
+            # a repeated real id would double-count hits/DCG) and record
+            # the TRUE candidate count (0 allowed; the metrics guard with
+            # max(counts, 1) and ideal-DCG[0] = 0)
+            t_counts.append(int(its.size))
             if its.size < test_per_user:
-                # dense user with almost no held-out items: pad with repeats
-                # of the last candidate (or item 0 if none) so the per-user
-                # lists stay rectangular; test_counts records the true size
-                pad_val = its[-1] if its.size else 0
                 its = np.concatenate(
-                    [its, np.full(test_per_user - its.size, pad_val)]
+                    [its, np.full(test_per_user - its.size, -1)]
                 )
-                t_counts.append(max(int(cand[:test_per_user].size), 1))
-            else:
-                t_counts.append(test_per_user)
         else:
             its = rng.choice(item_num, size=test_per_user, replace=False)
             t_counts.append(test_per_user)

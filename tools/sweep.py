@@ -185,6 +185,13 @@ def main(argv=None) -> int:
     if args.forked and not args.run_once:
         # Parent: spawn one child per value, serially (children share one
         # accelerator). No jax backend is initialized in this process.
+        swept_field = _resolve(config, args.param)
+        for override in args.set:
+            if _resolve(config, override.partition("=")[0]) == swept_field:
+                raise SystemExit(
+                    f"--set names the swept param {args.param!r}; drop the "
+                    f"override (the sweep supplies its values)"
+                )
         values = _cast_values(config, args.param, args.values)
         results = []
         for value in values:
@@ -196,10 +203,12 @@ def main(argv=None) -> int:
                 sys.executable, os.path.abspath(__file__),
                 "-c", args.config, "--run-once", "--epochs", str(args.epochs),
                 "--out", child_out,
-                "--set", f"{args.param}={value}",
             ]
             for override in args.set:
                 cmd += ["--set", override]
+            # the swept value goes LAST: the child applies --set in order,
+            # so a user override naming the swept param must not win
+            cmd += ["--set", f"{args.param}={value}"]
             if args.data_root:
                 cmd += ["--data-root", args.data_root]
             print(f"🔁 forked sweep {args.param} = {value}", flush=True)
@@ -243,10 +252,13 @@ def main(argv=None) -> int:
             rows = _sweep_one(coach, config, log, param, values,
                               args.epochs, fresh=li > 0)
             best = max(rows, key=lambda r: r["Recall"])
-            if param != "seed":
-                obj, key = _resolve(config, param)
-                setattr(obj, key, best[param])
-                report["incumbent"][param] = best[param]
+            # every leg fixes its best-Recall winner before the next —
+            # including seed (bare "seed" resolves to base.seed): a seed leg
+            # previously left config at the LAST swept value, so later legs
+            # ran at an arbitrary seed excluded from the incumbent
+            obj, key = _resolve(config, param)
+            setattr(obj, key, best[param])
+            report["incumbent"][param] = best[param]
             report["legs"].append({"param": param, "results": rows,
                                    "winner": best})
             log.info(f"🏁 leg {param}: winner {best[param]} "
