@@ -7,7 +7,7 @@ coordinate-descent plan files) and renders one row of small multiples per
 swept parameter: Recall@20 and NDCG@20 against the parameter's values,
 best point direct-labeled.
 
-  python tools/plot_sweeps.py sweep_r2_noise_degree.json sweep_r2_plan.json \
+  python tools/plot_sweeps.py sweeps/sweep_r2_noise_degree.json sweeps/sweep_r2_plan.json \
       --out figures/sweeps.png
 """
 
