@@ -15,14 +15,13 @@ the end (reference `Main.py:413-419`).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from diffmm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
@@ -97,7 +96,7 @@ def make_score_topk(topk: int, mesh: Mesh | None = None):
                 P(DATA_AXIS),            # users
             ),
             out_specs=P(DATA_AXIS, None),
-            check_rep=False,
+            check_vma=False,
         )(u, i_final, train_dense, users)
 
     return sharded
@@ -129,21 +128,18 @@ def _metric_sums(
     return EvalBatchSums(recall=recall, ndcg=ndcg, precision=precision)
 
 
-@partial(jax.jit, static_argnames=("topk",))
-def eval_batch(
-    u_final: jax.Array,
-    i_final: jax.Array,
-    users: jax.Array,
-    valid: jax.Array,
-    train_dense: jax.Array,
-    test_items: jax.Array,
-    test_counts: jax.Array,
-    cum_dcg: jax.Array,
-    topk: int,
-) -> EvalBatchSums:
-    """Score one block of test users and return summed metrics.
+def make_eval_batch(topk: int, mesh: Mesh | None = None):
+    """Build the jitted one-block eval: ``(u_final, i_final, users, valid,
+    train_dense, test_items, test_counts, cum_dcg) -> EvalBatchSums``.
 
-    Args:
+    There is ONE scoring path — :func:`make_score_topk` — bound to the mesh
+    at build time: replicated full-catalog scoring off-mesh, explicit
+    distributed top-k when model_parallel > 1. (Previously a second,
+    always-replicated module-level surface existed; a caller reaching for it
+    on a mesh would silently materialize the (B, I) score matrix the
+    distributed path exists to avoid.)
+
+    Args of the built function:
       u_final/i_final: (U, d)/(I, d) final GCN embeddings.
       users: (B,) test user ids (padded blocks carry arbitrary ids).
       valid: (B,) bool, False on padding rows.
@@ -153,50 +149,31 @@ def eval_batch(
       test_items: (B, maxT) int32 test items, padded with -1.
       test_counts: (B,) int32 number of test items per user.
       cum_dcg: (topk+1,) ideal-DCG cumulative table from :func:`dcg_table`.
-      topk: K.
     """
-    u = u_final.take(users, axis=0)  # (B, d)
-    top_idx = _plain_score_topk(u, i_final, train_dense, users, topk)
-    return _metric_sums(top_idx, valid, test_items, test_counts, cum_dcg, topk)
+    score_topk = make_score_topk(topk, mesh)
 
-
-@partial(jax.jit, static_argnames=("topk",))
-def eval_epoch(
-    u_final: jax.Array,
-    i_final: jax.Array,
-    users_blocks: jax.Array,
-    valid_blocks: jax.Array,
-    train_dense: jax.Array,
-    items_blocks: jax.Array,
-    counts_blocks: jax.Array,
-    cum_dcg: jax.Array,
-    topk: int,
-) -> jax.Array:
-    """All eval blocks as one compiled scan; returns summed
-    (recall, ndcg, precision). Block inputs carry a leading (n_blocks,) dim."""
-
-    def body(acc, xs):
-        users, valid, t_items, t_counts = xs
-        out = eval_batch(
-            u_final, i_final, users, valid, train_dense, t_items, t_counts,
-            cum_dcg, topk,
+    @jax.jit
+    def run(
+        u_final, i_final, users, valid, train_dense, test_items, test_counts,
+        cum_dcg,
+    ) -> EvalBatchSums:
+        top_idx = score_topk(
+            u_final.take(users, axis=0), i_final, train_dense, users
         )
-        return acc + jnp.stack(out), None
+        return _metric_sums(
+            top_idx, valid, test_items, test_counts, cum_dcg, topk
+        )
 
-    acc0 = jnp.zeros((3,), dtype=jnp.float32)
-    acc, _ = jax.lax.scan(
-        body, acc0, (users_blocks, valid_blocks, items_blocks, counts_blocks)
-    )
-    return acc
+    return run
 
 
 def make_eval_epoch(topk: int, mesh: Mesh | None = None):
-    """Build the jitted all-blocks eval program for a fixed topk/mesh.
-
-    Same contract as :func:`eval_epoch` minus the trailing ``topk`` arg; on a
-    mesh with model_parallel > 1 the per-block scoring goes through the
-    distributed top-k of :func:`make_score_topk`, so no replicated (B, I)
-    score matrix ever materializes."""
+    """Build the jitted all-blocks eval program for a fixed topk/mesh:
+    block inputs carry a leading (n_blocks,) dim, scanned in one compiled
+    program; returns summed (recall, ndcg, precision). Per-block scoring
+    goes through :func:`make_score_topk` (same single path as
+    :func:`make_eval_batch`), so on a mesh with model_parallel > 1 no
+    replicated (B, I) score matrix ever materializes."""
     score_topk = make_score_topk(topk, mesh)
 
     @jax.jit

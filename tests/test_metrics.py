@@ -4,7 +4,7 @@
 import jax.numpy as jnp
 import numpy as np
 
-from diffmm_tpu.eval.ranking import dcg_table, eval_batch
+from diffmm_tpu.eval.ranking import dcg_table, make_eval_batch
 
 
 def _reference_calc_res(top_idxs, test_u_its, topk):
@@ -44,7 +44,7 @@ def test_eval_batch_matches_reference(rng):
         test_items[b, : counts[b]] = its
         test_lists.append(list(its))
 
-    got = eval_batch(
+    got = make_eval_batch(topk)(
         jnp.asarray(u_final),
         jnp.asarray(i_final),
         jnp.asarray(users),
@@ -53,7 +53,6 @@ def test_eval_batch_matches_reference(rng):
         jnp.asarray(test_items),
         jnp.asarray(counts),
         dcg_table(topk),
-        topk,
     )
 
     # brute-force reference path
@@ -76,15 +75,15 @@ def test_eval_batch_padding_ignored(rng):
     valid = np.array([True, True, False, False])
     test_items = np.array([[0, 1], [2, -1], [0, 1], [0, 1]], dtype=np.int32)
     counts = np.array([2, 1, 2, 2], dtype=np.int32)
-    full = eval_batch(
+    full = make_eval_batch(topk)(
         jnp.asarray(u_final), jnp.asarray(i_final), jnp.asarray(users),
         jnp.asarray(valid), jnp.asarray(train_dense), jnp.asarray(test_items),
-        jnp.asarray(counts), dcg_table(topk), topk,
+        jnp.asarray(counts), dcg_table(topk),
     )
-    sub = eval_batch(
+    sub = make_eval_batch(topk)(
         jnp.asarray(u_final), jnp.asarray(i_final), jnp.asarray(users[:2]),
         jnp.ones(2, dtype=bool), jnp.asarray(train_dense),
-        jnp.asarray(test_items[:2]), jnp.asarray(counts[:2]), dcg_table(topk), topk,
+        jnp.asarray(test_items[:2]), jnp.asarray(counts[:2]), dcg_table(topk),
     )
     np.testing.assert_allclose(float(full.recall), float(sub.recall), rtol=1e-6)
     np.testing.assert_allclose(float(full.ndcg), float(sub.ndcg), rtol=1e-6)
