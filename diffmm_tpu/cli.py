@@ -126,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         f"NDCG: {best['NDCG']:.5f}, Precision: {best['Precision']:.5f}"
     )
     if args.export_index:
-        if coach.modal_adjs is None:
+        if coach.modal_adjs is None and coach.best_snapshot is None:
             log.info(
                 "⚠️ no trained epoch completed — skipping --export-index "
                 "(the serving index needs the epoch's modality graphs)"
@@ -135,7 +135,14 @@ def main(argv: list[str] | None = None) -> int:
             from diffmm_tpu.eval.serving import build_index, save_index
 
             save_index(build_index(coach), args.export_index)
-            log.info(f"Serving index saved to {args.export_index} 📦")
+            which = (
+                f"best epoch {coach.best_snapshot['epoch']}"
+                if coach.best_snapshot is not None
+                else "final epoch"
+            )
+            log.info(
+                f"Serving index ({which}) saved to {args.export_index} 📦"
+            )
     return 0
 
 

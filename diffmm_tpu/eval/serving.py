@@ -72,12 +72,22 @@ def recommend(
     return top_ids[:, :k], top_scores[:, :k]
 
 
-def build_index(coach) -> RecIndex:
+def build_index(coach, use_best: bool = True) -> RecIndex:
     """Freeze a trained Coach into a serving index (runs the GCN forward
-    with the epoch's rebuilt modality graphs, like eval)."""
-    assert coach.modal_adjs is not None, "train (or restore) before serving"
+    with the epoch's rebuilt modality graphs, like eval).
+
+    ``use_best``: serve the best-test-Recall epoch's captured model
+    (``Coach.capture_best`` — the reference's model-selection semantics,
+    `Main.py:71-78`) instead of the final epoch's; the best epoch is
+    frequently mid-run, so the final model is measurably worse. Falls back
+    to the live state when no eval ever ran."""
+    if use_best:
+        params, modal_adjs = coach.best_state()
+    else:
+        assert coach.modal_adjs is not None, "train (or restore) before serving"
+        params, modal_adjs = coach.gcn_params, coach.modal_adjs
     u_final, i_final = coach.steps.gcn_forward(
-        coach.gcn_params, coach.data.adj, tuple(coach.modal_adjs),
+        params, coach.data.adj, tuple(modal_adjs),
         coach.data.raw_feats, coach._hp(),
     )
     return RecIndex(

@@ -227,6 +227,12 @@ class Coach:
             self.dn_opt_states = [tx.init(p) for p in self.dn_params]
         self.modal_adjs: list[BiAdj] | None = None
         self.edge_buffers: list[jax.Array] | None = None
+        # Best-epoch model capture (reference selects models by best test
+        # Recall, `Main.py:71-78`, but never persists them): a host-side
+        # snapshot of the GCN params + the epoch's rebuilt edge buffers —
+        # everything the serving export needs to reproduce the best epoch
+        # rather than the (often worse) final one.
+        self.best_snapshot: dict | None = None
         self.epoch_times: list[float] = []
         # Cosine-LR horizon (T_max). run(epochs=N) moves it to the effective
         # count — same trajectory the reference produces when the toml's
@@ -548,6 +554,49 @@ class Coach:
             "Precision": float(sums[2]) / n_test,
         }
 
+    # ------------------------------------------------------- best snapshot
+    def capture_best(self, epoch: int) -> None:
+        """Host-copy the state that reproduces this epoch's eval: GCN params
+        + rebuilt modality edge buffers (a few MB; the denoisers don't feed
+        eval). Called whenever best Recall improves."""
+        self.best_snapshot = {
+            "epoch": epoch,
+            "gcn_params": jax.device_get(self.gcn_params),
+            "edge_buffers": (
+                None
+                if self.config.hyper.use_knn_adj
+                else [jax.device_get(b) for b in self.edge_buffers]
+            ),
+        }
+
+    def best_state(self):
+        """(gcn_params, modal_adjs) of the best-Recall epoch, placed like the
+        live training state (mesh shardings included); falls back to the
+        current state when no snapshot exists (e.g. eval never ran)."""
+        snap = self.best_snapshot
+        if snap is None:
+            assert self.modal_adjs is not None, (
+                "no trained epoch and no best snapshot to serve from"
+            )
+            return self.gcn_params, self.modal_adjs
+        params = jax.tree.map(
+            lambda s, cur: jax.device_put(s, cur.sharding),
+            snap["gcn_params"],
+            self.gcn_params,
+        )
+        if self.config.hyper.use_knn_adj:
+            # KNN modality graphs are a pure function of data — static per run
+            modal_adjs = self.modal_adjs or self._knn_adjs()
+        else:
+            bufs = [
+                jax.device_put(b, cur.sharding)
+                for b, cur in zip(snap["edge_buffers"], self.edge_buffers)
+            ]
+            modal_adjs = [
+                self._make_adj(self.data.train_rows, b) for b in bufs
+            ]
+        return params, modal_adjs
+
     # ----------------------------------------------------------- checkpoints
     def _ckpt_arrays(self):
         # Under the KNN ablation there are no diffusion-rebuilt edge buffers
@@ -557,12 +606,23 @@ class Coach:
             buffers = []
         else:
             buffers = self.edge_buffers
+        snap = self.best_snapshot
+        # The best snapshot rides in the same tree so resume + export-best is
+        # exact; before any eval it's placeholdered by the live state (aux
+        # best_snapshot_epoch = -1 marks it absent).
+        if snap is None:
+            best_params, best_buffers = self.gcn_params, buffers
+        else:
+            best_params = snap["gcn_params"]
+            best_buffers = [] if snap["edge_buffers"] is None else snap["edge_buffers"]
         return {
             "gcn_params": self.gcn_params,
             "gcn_opt_state": self.gcn_opt_state,
             "dn_params": self.dn_params,
             "dn_opt_states": self.dn_opt_states,
             "edge_buffers": buffers,
+            "best_gcn_params": best_params,
+            "best_edge_buffers": best_buffers,
         }
 
     def save_checkpoint(self, epoch: int, best: dict[str, float]) -> None:
@@ -577,6 +637,10 @@ class Coach:
                 "best": best,
                 "key": key_to_list(self.key),
                 "np_rng": rng_state_to_json(self.np_rng),
+                "best_snapshot_epoch": (
+                    -1 if self.best_snapshot is None
+                    else self.best_snapshot["epoch"]
+                ),
             },
         )
 
@@ -601,6 +665,8 @@ class Coach:
             if self.mesh is not None:
                 buf = [shard_batch(b, self.mesh) for b in buf]
             template["edge_buffers"] = buf
+            if template["best_edge_buffers"] is None:
+                template["best_edge_buffers"] = buf
         _, arrays, aux = self.ckpt.restore(template=template)
         self.gcn_params = arrays["gcn_params"]
         self.gcn_opt_state = arrays["gcn_opt_state"]
@@ -618,6 +684,17 @@ class Coach:
                 ]
         self.key = key_from_list(aux["key"])
         self.np_rng = rng_state_from_json(aux["np_rng"])
+        snap_epoch = aux.get("best_snapshot_epoch", -1)
+        if snap_epoch >= 0:
+            self.best_snapshot = {
+                "epoch": snap_epoch,
+                "gcn_params": jax.device_get(arrays["best_gcn_params"]),
+                "edge_buffers": (
+                    None
+                    if self.config.hyper.use_knn_adj
+                    else [jax.device_get(b) for b in arrays["best_edge_buffers"]]
+                ),
+            }
         best = dict(aux["best"])
         best["epoch"] = aux["epoch"]
         self.log.info(f"Resumed from checkpoint at epoch {aux['epoch']} ♻️")
@@ -685,6 +762,7 @@ class Coach:
                         ndcg_max = result["NDCG"]
                         precision_max = result["Precision"]
                         best_epoch = epoch
+                        self.capture_best(epoch)
                     self.log.info(self.make_print("🧪 Test", epoch, result, n_epochs))
                 self.log.info(
                     f"💡 Current best: Epoch: {best_epoch}, "
