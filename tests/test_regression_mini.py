@@ -39,5 +39,11 @@ def test_tiktok_mini_two_epoch_recall_band():
     for epoch in range(2):
         coach.train_epoch(epoch)
     result = coach.test_epoch()
-    # measured 0.01005 (this file's pinned run); random ranking ≈ 0.003
-    assert 0.005 <= result["Recall"] <= 0.06, result
+    # measured 0.012563 (bit-identical across 3 consecutive CPU runs,
+    # 2026-08-17); random ranking ≈ 0.003. Band is ±~50% of the measurement:
+    # the floor catches a halving of accuracy (a meaningful partial
+    # regression, not just a no-op joint phase), the ceiling flags silent
+    # eval inflation. Reduction-order drift across JAX versions moves the
+    # value by ≪ the band width (0.01005 was the round-2 pin on the same
+    # slice under the then-current stack).
+    assert 0.008 <= result["Recall"] <= 0.019, result
