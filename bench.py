@@ -41,11 +41,15 @@ def main() -> int:
     import jax
 
     times = []
+    phase_times: dict[str, list[float]] = {}
     for ep in range(epochs):
+        coach.timer.reset()
         t0 = time.perf_counter()
         coach.train_epoch(ep)
         jax.block_until_ready(coach.gcn_params["u_embs"])
         times.append(time.perf_counter() - t0)
+        for name, total in coach.timer.totals.items():
+            phase_times.setdefault(name, []).append(total)
         print(f"epoch {ep}: {times[-1]:.2f}s", file=sys.stderr, flush=True)
 
     # Eval latency: full-catalog ranking over all test users (the serving-
@@ -81,6 +85,34 @@ def main() -> int:
     epoch_s = steady[len(steady) // 2]
     epochs_per_hr = 3600.0 / epoch_s
 
+    # Per-phase steady-state medians (VERDICT r2: a regression confined to
+    # one phase hides inside the epoch median without these).
+    def _median_steady(vals):
+        v = sorted(vals[1:]) if len(vals) > 1 else vals
+        return round(v[len(v) // 2], 4)
+
+    phase_medians = {k: _median_steady(v) for k, v in phase_times.items()}
+
+    # Joint-step HBM-roofline fraction (machine-checkable form of the
+    # DESIGN.md roofline claim): the exact joint-step algorithm moves ~26
+    # passes over the (U, I) adjacency block per step (10 propagation
+    # passes forward + backward + CL re-propagations); at the dense store
+    # width that's the dominant HBM traffic. fraction = roofline_s /
+    # measured_s — ~0.6 historically on v5e (819 GB/s HBM).
+    roofline_fraction = None
+    if jax.default_backend() == "tpu" and coach.dense_graphs:
+        adj_pass_bytes = (
+            host.user_num * host.item_num
+            * jax.numpy.dtype(coach.dense_store_dtype).itemsize
+        )
+        n_joint_blocks = max(1, -(-host.nnz // config.train.batch))
+        joint_s = phase_medians.get("joint")
+        if joint_s:
+            roofline_s = 26 * adj_pass_bytes / 819e9
+            roofline_fraction = round(
+                roofline_s / (joint_s / n_joint_blocks), 3
+            )
+
     baseline_path = os.path.join(REPO, "bench_baseline.json")
     ref_epoch_s = FALLBACK_REF_EPOCH_S
     if os.path.exists(baseline_path):
@@ -98,6 +130,8 @@ def main() -> int:
                 "detail": {
                     "epoch_seconds_median_steady": round(epoch_s, 3),
                     "epoch_seconds_all": [round(t, 2) for t in times],
+                    "phase_seconds_median_steady": phase_medians,
+                    "joint_hbm_roofline_fraction": roofline_fraction,
                     "eval_seconds_median": round(eval_s, 3),
                     "sparse_epoch_seconds_median": (
                         round(sparse_epoch_s, 3) if sparse_epoch_s else None
