@@ -87,9 +87,21 @@ def main(argv=None) -> int:
         help="hardware-bucketed approx_max_k (0.95 recall target) instead "
         "of exact top-k; pays off on very large catalogs",
     )
+    parser.add_argument(
+        "--warmup", default=None, metavar="K1,K2,...",
+        help="pre-compile the serving programs for these k values before "
+        "accepting requests (e.g. --warmup 10,20,100); no live request "
+        "then pays the first-hit XLA compile",
+    )
     args = parser.parse_args(argv)
 
     index = load_index(args.index)
+    if args.warmup:
+        from diffmm_tpu.eval.serving import warmup
+
+        ks = [int(v) for v in args.warmup.split(",")]
+        print(f"warming up k={ks} ...", flush=True)
+        warmup(index, ks, approx=args.approx)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(index, approx=args.approx))
     print(
         f"serving {index.train_dense.shape} index on "

@@ -9,12 +9,21 @@ eval (reference `Main.py:410` semantics).
 
 from __future__ import annotations
 
+import threading
 from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Serializes FIRST-hit compiles of a (k, mask_seen, approx, batch) program
+# variant: a threaded server (serve_http) dispatching concurrent cold
+# requests would otherwise race XLA compilation of the same program —
+# correct but pathological for tail latency (every racer pays the full
+# compile). Warm variants dispatch lock-free.
+_compile_lock = threading.Lock()
+_compiled_variants: set[tuple] = set()
 
 
 class RecIndex(NamedTuple):
@@ -66,10 +75,32 @@ def recommend(
     if not 1 <= k <= item_num:
         raise ValueError(f"k must be in [1, {item_num}], got {k}")
     k_pad = min(1 << (k - 1).bit_length(), item_num)
-    top_ids, top_scores = _recommend_compiled(
-        index, users, k_pad, bool(mask_seen), bool(approx)
-    )
+    variant = (id(index.u_final), users.shape, k_pad, bool(mask_seen), bool(approx))
+    if variant not in _compiled_variants:
+        with _compile_lock:
+            top_ids, top_scores = _recommend_compiled(
+                index, users, k_pad, bool(mask_seen), bool(approx)
+            )
+            _compiled_variants.add(variant)
+    else:
+        top_ids, top_scores = _recommend_compiled(
+            index, users, k_pad, bool(mask_seen), bool(approx)
+        )
     return top_ids[:, :k], top_scores[:, :k]
+
+
+def warmup(
+    index: RecIndex, ks: list[int] | None = None, approx: bool = False
+) -> None:
+    """Pre-compile the serving programs for the given ``k`` values (both
+    mask modes, single-user batch) so no live request pays the first-hit
+    XLA compile. One variant per power-of-two bucket actually compiles —
+    :func:`recommend` rounds k up, so warming k=20 covers k in [17, 32]."""
+    users = jnp.zeros((1,), dtype=jnp.int32)
+    for k in ks or [20]:
+        for mask_seen in (True, False):
+            ids, scores = recommend(index, users, k, mask_seen, approx=approx)
+            jax.block_until_ready(scores)
 
 
 def build_index(coach, use_best: bool = True) -> RecIndex:

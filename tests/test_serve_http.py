@@ -84,3 +84,50 @@ def test_error_paths(server):
     assert _get(base + "/recommend?user=9999&k=5")[0] == 400  # out of range
     assert _get(base + "/recommend?user=1&k=0")[0] == 400     # bad k
     assert _get(base + "/nope")[0] == 404
+
+
+def test_concurrent_cold_requests(server):
+    """Concurrent requests with DISTINCT k values (each a cold program
+    variant) must all succeed: first-hit compiles are serialized behind the
+    compile lock (serving.py), warm dispatches stay lock-free."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base, data = server
+    # distinct power-of-two buckets -> distinct compiled variants, plus
+    # repeats of a warm one; mix mask modes
+    urls = [
+        base + f"/recommend?user={u}&k={k}&mask_seen={m}"
+        for u, k, m in [
+            (1, 3, 1), (2, 5, 1), (3, 9, 1), (4, 17, 1),
+            (5, 3, 0), (6, 5, 0), (7, 3, 1), (8, 3, 1),
+            (9, 5, 1), (10, 9, 0), (11, 17, 0), (12, 3, 0),
+        ]
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(_get, urls))
+    for (code, body), url in zip(results, urls):
+        assert code == 200, (url, body)
+        k = int(url.split("k=")[1].split("&")[0])
+        assert len(body["items"]) == k
+        assert len(set(body["items"])) == k  # distinct recommendations
+
+
+def test_warmup_precompiles(tiny_config_module, tiny_data_module):
+    """warmup() registers both mask-mode variants per k bucket, so live
+    requests with covered k values dispatch lock-free."""
+    from diffmm_tpu.eval import serving
+
+    coach = Coach(copy.deepcopy(tiny_config_module), tiny_data_module)
+    coach.train_epoch(0)
+    index = build_index(coach)
+    before = len(serving._compiled_variants)
+    serving.warmup(index, ks=[7, 20])
+    added = {
+        v for v in serving._compiled_variants
+        if v[0] == id(index.u_final)
+    }
+    assert len(serving._compiled_variants) - before >= 1
+    # k=7 -> bucket 8, k=20 -> bucket 32 (capped at item_num=40): both mask
+    # modes for each bucket
+    buckets = {(v[2], v[3]) for v in added}
+    assert {(8, True), (8, False), (32, True), (32, False)} <= buckets
