@@ -268,10 +268,17 @@ def build_dense_bi_adj_device(
 
 
 def _reduce_sorted(msgs, ids, n, plan):
-    """Sorted segment reduction: host-planned MXU kernel or XLA scatter."""
+    """Sorted segment reduction: host-planned MXU kernel (single-device
+    piecewise or mesh ``shard_map`` form, by plan type) or XLA scatter."""
     if plan is not None:
-        from diffmm_tpu.ops.pallas.segsum import sorted_segment_sum_planned
+        from diffmm_tpu.ops.pallas.segsum import (
+            ShardedSegsumPlan,
+            sharded_sorted_segment_sum,
+            sorted_segment_sum_planned,
+        )
 
+        if isinstance(plan, ShardedSegsumPlan):
+            return sharded_sorted_segment_sum(msgs, ids, n, plan)
         return sorted_segment_sum_planned(msgs, ids, n, plan)
     return jax.ops.segment_sum(msgs, ids, num_segments=n, indices_are_sorted=True)
 

@@ -26,6 +26,7 @@ clamped slice lands.
 from __future__ import annotations
 
 import functools
+from typing import Any, NamedTuple
 
 from diffmm_tpu.ops.pallas import round_up as _round_up
 
@@ -231,6 +232,117 @@ def sorted_segment_sum_planned(
             )
         )
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+class ShardedSegsumPlan(NamedTuple):
+    """Host-made plan for the MXU sorted-segment-sum on a device mesh.
+
+    SPMD constraint: a ``shard_map`` body is ONE program for every shard, so
+    per-shard piece boundaries (as in :func:`make_segsum_plan`) cannot vary.
+    Instead each shard reduces its edge slice into a uniform-size LOCAL
+    buffer at a *dynamic* row offset (its first segment id), places it into
+    the global output with ``dynamic_update_slice``, and a ``psum`` over the
+    edge-sharding axes merges the partials — the contiguous-block layout of
+    the globally sorted ids guarantees each shard touches one bounded
+    segment range, whose max span (``local_rows``) is measured on host.
+
+    Fields:
+      mesh: the jax Mesh (hashable — plans key the propagator cache).
+      axes: mesh axis names the edge dim is split over (e.g.
+        ``("data", "model")`` — both, so every device reduces a slice).
+      local_rows: static per-shard output rows (max shard segment span plus
+        the kernel's chunk slack), VMEM-checked on host.
+      chunk: kernel chunk (edges per one-hot MXU matmul).
+    """
+
+    mesh: Any
+    axes: tuple
+    local_rows: int
+    chunk: int
+
+
+def make_sharded_segsum_plan(
+    ids_sorted,
+    num_segments: int,
+    d: int,
+    mesh,
+    axes: tuple,
+    chunk: int = 512,
+):
+    """Plan the mesh form of the sorted-segment-sum for a STATIC padded id
+    layout (same contract as :func:`make_segsum_plan`: only valid for the
+    exact layout planned on; sentinel ids == num_segments are zero-message
+    padding). Returns None when any shard fails the one-hot window check or
+    the uniform local buffer exceeds the VMEM budget — callers then keep the
+    XLA scatter path."""
+    import numpy as np
+
+    ids = np.asarray(ids_sorted)
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
+    if len(ids) % n_shards:
+        return None
+    s = len(ids) // n_shards
+    span_max = 1
+    for k in range(n_shards):
+        part = ids[k * s : (k + 1) * s]
+        local = part - part[0]
+        span = int(local[-1]) + 1
+        # window check with every lane treated as real (global sentinels sit
+        # at most one row above the last real id, so this is exact up to one
+        # row of slack)
+        if not spans_fit(local, span, chunk):
+            return None
+        span_max = max(span_max, span)
+    local_rows = span_max + chunk  # slack so the kernel's slice never clamps
+    if not segsum_fits_vmem(local_rows, d, chunk):
+        return None
+    return ShardedSegsumPlan(
+        mesh=mesh, axes=tuple(axes), local_rows=local_rows, chunk=chunk
+    )
+
+
+def sharded_sorted_segment_sum(
+    msgs: jax.Array,
+    seg_ids: jax.Array,
+    num_segments: int,
+    plan: ShardedSegsumPlan,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Mesh form of :func:`sorted_segment_sum` per a
+    :class:`ShardedSegsumPlan`: ``shard_map`` over the edge-sharded arrays,
+    per-shard local kernel at a dynamic segment offset, ``psum`` of the
+    placed partials (SURVEY.md §2.3 collectives contract). Exact: every edge
+    lands in exactly one shard and segment sums are associative."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    d = msgs.shape[1]
+    local_rows = plan.local_rows
+
+    def local(msgs_l, ids_l):
+        row_start = ids_l[0]
+        out_l = sorted_segment_sum(
+            msgs_l, ids_l - row_start, local_rows, plan.chunk, interpret
+        )
+        # place the local span into the (tail-padded) global frame; an
+        # all-sentinel shard starts at num_segments and lands fully in the
+        # dropped tail
+        buf = jnp.zeros((num_segments + local_rows, d), msgs_l.dtype)
+        buf = jax.lax.dynamic_update_slice(buf, out_l, (row_start, 0))
+        return jax.lax.psum(buf[:num_segments], plan.axes)
+
+    edge_spec = P(plan.axes)
+    return shard_map(
+        local,
+        mesh=plan.mesh,
+        in_specs=(P(plan.axes, None), edge_spec),
+        out_specs=P(),
+        check_vma=False,
+    )(msgs, seg_ids)
 
 
 def spans_fit(ids_sorted, num_segments: int, chunk: int = 512) -> bool:

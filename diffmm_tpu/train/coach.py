@@ -281,28 +281,52 @@ class Coach:
 
     def _segsum_gate(self) -> tuple:
         """Host-made static plans for the MXU sorted-segment-sum on the
-        sparse form: TPU backend + per-piece chunk-span verification on the
-        sorted edge ids (ops/pallas/segsum.py::make_segsum_plan); segment
-        ranges beyond the VMEM budget tile into multiple kernel calls.
-        DIFFMM_SEGSUM=xla forces the scatter path."""
+        sparse form: per-piece chunk-span verification on the sorted edge
+        ids (ops/pallas/segsum.py). Single-device runs get the piecewise
+        plan (make_segsum_plan; VMEM-oversized segment ranges tile into
+        multiple kernel calls); mesh runs get the shard_map form
+        (make_sharded_segsum_plan: per-shard local kernels at dynamic
+        offsets + a psum of partials) — the web-scale configuration (sparse
+        because the dense form doesn't fit, therefore usually multi-chip)
+        keeps the reduction kernel instead of regressing to XLA scatter.
+        DIFFMM_SEGSUM=xla forces the scatter path; =mxu forces planning on
+        the CPU backend too (interpret-mode kernels — tests)."""
         import os
 
-        if self.dense_graphs or os.environ.get("DIFFMM_SEGSUM") == "xla":
+        mode = os.environ.get("DIFFMM_SEGSUM")
+        if self.dense_graphs or mode == "xla":
             return (None, None)
-        if jax.default_backend() in ("cpu",):
-            return (None, None)
-        if self.mesh is not None:
-            # pallas_call has no SPMD partitioning rule for the data-sharded
-            # edge arrays; multi-device sparse runs keep the XLA reductions
+        if jax.default_backend() in ("cpu",) and mode != "mxu":
             return (None, None)
         from diffmm_tpu.data.loader import pad_edges
-        from diffmm_tpu.ops.pallas.segsum import make_segsum_plan
 
         host = self.host
         d = self.config.base.latdim
         rows_p, cols_p = pad_edges(
             host.train_rows, host.train_cols, host.user_num, host.item_num
         )
+        if self.mesh is not None:
+            from diffmm_tpu.ops.pallas.segsum import make_sharded_segsum_plan
+            from diffmm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            axes = (DATA_AXIS, MODEL_AXIS)
+            u_plan = make_sharded_segsum_plan(
+                rows_p, host.user_num, d, self.mesh, axes
+            )
+            i_plan = make_sharded_segsum_plan(
+                np.sort(cols_p), host.item_num, d, self.mesh, axes
+            )
+            if u_plan or i_plan:
+                self.log.info(
+                    "Sparse SpMM: MXU sorted-segment-sum over the mesh "
+                    f"(user={'on' if u_plan else 'off'}"
+                    f"{f'/{u_plan.local_rows} rows/shard' if u_plan else ''}, "
+                    f"item={'on' if i_plan else 'off'}"
+                    f"{f'/{i_plan.local_rows} rows/shard' if i_plan else ''})"
+                )
+            return (u_plan, i_plan)
+        from diffmm_tpu.ops.pallas.segsum import make_segsum_plan
+
         u_plan = make_segsum_plan(rows_p, host.user_num, d)
         i_plan = make_segsum_plan(np.sort(cols_p), host.item_num, d)
         if u_plan or i_plan:

@@ -114,3 +114,83 @@ def test_gate_on_real_shaped_edges(tiny_data):
     )
     assert spans_fit(rows_p, tiny_data.user_num)
     assert spans_fit(np.sort(cols_p), tiny_data.item_num)
+
+
+# ---------------------------------------------------------------- mesh form
+
+def _mesh8(model=2):
+    from diffmm_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(8, model_parallel=model)
+
+
+def test_sharded_matches_segment_sum(rng):
+    """shard_map form == XLA segment_sum on the 8-virtual-device mesh,
+    including a sentinel tail (zero messages, id == num_segments)."""
+    from diffmm_tpu.ops.pallas.segsum import (
+        make_sharded_segsum_plan,
+        sharded_sorted_segment_sum,
+    )
+    from diffmm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    mesh = _mesh8()
+    U, d, chunk = 300, 16, 128
+    real = np.sort(rng.integers(0, U, 1000)).astype(np.int32)
+    ids = np.concatenate([real, np.full(24, U, np.int32)])
+    msgs = rng.standard_normal((len(ids), d)).astype(np.float32)
+    msgs[1000:] = 0.0
+    plan = make_sharded_segsum_plan(
+        ids, U, d, mesh, (DATA_AXIS, MODEL_AXIS), chunk=chunk
+    )
+    assert plan is not None and plan.local_rows > 0
+    got = np.asarray(
+        sharded_sorted_segment_sum(jnp.asarray(msgs), jnp.asarray(ids), U, plan)
+    )
+    want = np.asarray(
+        jax.ops.segment_sum(jnp.asarray(msgs[:1000]), jnp.asarray(real), num_segments=U)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_plan_gates(rng):
+    """Uneven edge counts and VMEM-oversized shard spans must refuse to plan
+    (callers keep the XLA path) rather than mis-reduce."""
+    from diffmm_tpu.ops.pallas.segsum import make_sharded_segsum_plan
+    from diffmm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    mesh = _mesh8()
+    axes = (DATA_AXIS, MODEL_AXIS)
+    ids = np.sort(rng.integers(0, 100, 1001)).astype(np.int32)  # 1001 % 8 != 0
+    assert make_sharded_segsum_plan(ids, 100, 16, mesh, axes) is None
+    # one shard spanning far beyond the VMEM budget at d=512
+    wide = np.sort(rng.integers(0, 10**6, 1024)).astype(np.int32)
+    assert make_sharded_segsum_plan(wide, 10**6, 512, mesh, axes) is None
+
+
+def test_sparse_mesh_epoch_parity(tiny_config, tiny_data, monkeypatch):
+    """VERDICT r2 #1: the sparse (web-scale) form on a mesh must run with
+    non-None MXU plans — no silent fallback to XLA scatter — and match the
+    single-device sparse trajectory (train metrics + eval)."""
+    import copy
+
+    from diffmm_tpu.train.coach import Coach
+
+    monkeypatch.setenv("DIFFMM_SEGSUM", "mxu")
+    cfg = copy.deepcopy(tiny_config)
+    cfg.train.graph_form = "sparse"
+
+    c_mesh = Coach(copy.deepcopy(cfg), tiny_data, mesh=_mesh8())
+    assert c_mesh.segsum_plans[0] is not None, "mesh run silently unplanned"
+    assert c_mesh.segsum_plans[1] is not None
+    r_mesh = c_mesh.train_epoch(0)
+    e_mesh = c_mesh.test_epoch()
+
+    c_one = Coach(copy.deepcopy(cfg), tiny_data)
+    assert c_one.segsum_plans != (None, None)
+    r_one = c_one.train_epoch(0)
+    e_one = c_one.test_epoch()
+
+    for k in r_one:
+        np.testing.assert_allclose(r_mesh[k], r_one[k], rtol=2e-4, atol=2e-5)
+    for k in e_one:
+        np.testing.assert_allclose(e_mesh[k], e_one[k], rtol=2e-4, atol=2e-5)
