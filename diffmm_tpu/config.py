@@ -42,6 +42,10 @@ class BaseConfig:
     # fused kernel on v5e — XLA already fuses this MLP); "pallas" opts into
     # the fused Pallas kernel (single-hidden-layer configs only).
     denoiser_impl: str = "auto"
+    # TPU-specific: storage dtype of the denoiser parameters (and their Adam
+    # moments). "bf16" halves the HBM traffic of the wide catalog-dim layers
+    # in phases 1+2; measured A/B in DESIGN.md — the default stays f32.
+    denoise_param_dtype: str = "f32"
 
     def denoise_dims(self) -> list[int]:
         """Hidden widths of the denoiser MLP (reference `Main.py:97`)."""

@@ -201,6 +201,26 @@ class Coach:
             )
             for k in k_dns
         ]
+        if cfg.base.denoise_param_dtype == "bf16":
+            # bf16 storage for the denoiser params: grads/Adam moments follow
+            # the param dtype (JAX tangents match primal dtype; optax inits
+            # moments with zeros_like), adam_update casts the applied update
+            # back — so the whole phase-1/2 state is half-width. The GCN
+            # stays f32 (it feeds the accuracy-critical eval path).
+            if cfg.base.denoiser_impl == "pallas":
+                raise ValueError(
+                    "denoise_param_dtype='bf16' is not supported with the "
+                    "Pallas denoiser kernel (its VMEM plan assumes f32)"
+                )
+            self.dn_params = [
+                jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+                for p in self.dn_params
+            ]
+        elif cfg.base.denoise_param_dtype != "f32":
+            raise ValueError(
+                f"base.denoise_param_dtype must be f32|bf16, got "
+                f"{cfg.base.denoise_param_dtype!r}"
+            )
         if self.mesh is not None:
             # Narrow params replicate; catalog-dim params (i_embs, the
             # denoiser wide layers) ride the model axis, so parameter AND

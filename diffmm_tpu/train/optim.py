@@ -24,8 +24,13 @@ def make_adam():
 
 
 def adam_update(tx, grads, opt_state, params, lr):
+    # the .astype keeps sub-f32 param storage (base.denoise_param_dtype)
+    # stable across scan iterations: lr is a strong f32 scalar, so `p - lr*u`
+    # would silently promote bf16 params to f32 and break the carry dtype
     updates, new_state = tx.update(grads, opt_state, params)
-    new_params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+    new_params = jax.tree.map(
+        lambda p, u: (p - lr * u).astype(p.dtype), params, updates
+    )
     return new_params, new_state
 
 

@@ -94,3 +94,36 @@ def test_multi_hidden_layers(rng):
     assert out.shape == (4, 20)
     want = _torch_denoise_forward(params, np.asarray(x), np.array([0, 1, 2, 3]))
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4, atol=2e-5)
+
+
+def test_bf16_param_storage_trains_stably(tiny_config, tiny_data):
+    """base.denoise_param_dtype='bf16': params/grads/Adam moments ride bf16
+    (half the phase-1/2 HBM state); the dtype must survive the scan carry
+    (adam_update casts the applied update back) and losses stay finite."""
+    import copy
+
+    import numpy as np
+
+    from diffmm_tpu.train.coach import Coach
+
+    cfg = copy.deepcopy(tiny_config)
+    cfg.base.denoise_param_dtype = "bf16"
+    coach = Coach(cfg, tiny_data)
+    assert coach.dn_params[0]["in_layers"][0]["w"].dtype == jnp.bfloat16
+    r = coach.train_epoch(0)
+    assert coach.dn_params[0]["in_layers"][0]["w"].dtype == jnp.bfloat16
+    assert coach.dn_opt_states[0].mu["in_layers"][0]["w"].dtype == jnp.bfloat16
+    assert all(np.isfinite(v) for v in r.values()), r
+
+
+def test_bad_denoise_param_dtype_rejected(tiny_config, tiny_data):
+    import copy
+
+    import pytest
+
+    from diffmm_tpu.train.coach import Coach
+
+    cfg = copy.deepcopy(tiny_config)
+    cfg.base.denoise_param_dtype = "fp8"
+    with pytest.raises(ValueError, match="denoise_param_dtype"):
+        Coach(cfg, tiny_data)
