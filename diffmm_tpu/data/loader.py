@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import pickle
 import warnings
+import zlib
 from dataclasses import dataclass, field
 from typing import NamedTuple
 
@@ -109,21 +110,76 @@ def _synthesize_features(
         return np.zeros((item_num, dim), dtype=np.float32)
     if mode == "svd":
         assert train is not None
-        from scipy.sparse.linalg import svds
-
         mat = sp.csr_matrix(train, dtype=np.float32)
         k = min(dim, min(mat.shape) - 1)
         if k < 1:  # degenerate 1-user/1-item matrix: nothing to decompose
             return np.zeros((item_num, dim), dtype=np.float32)
+        feats = _train_svd_feats(mat, k)
+        if k < dim:
+            feats = np.pad(feats, ((0, 0), (0, dim - k)))
+        return feats
+    # stable content seed — builtin hash() is salted per process
+    # (PYTHONHASHSEED), which would make randn features differ across runs
+    seed = zlib.crc32(f"{name}/{modality}".encode())
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((item_num, dim), dtype=np.float32)
+
+
+_SVD_MEM_CACHE: dict = {}
+
+
+def _train_svd_feats(mat: "sp.csr_matrix", k: int) -> np.ndarray:
+    """Variance-normalized top-``k`` right singular directions of the train
+    matrix, scaled by singular values — disk+memory cached.
+
+    The Lanczos run is deterministic (fixed start vector) but expensive:
+    k=4096 on baby-scale matrices is ~tens of host-CPU minutes, previously
+    re-paid by every process (each forked sweep child!). The cache key is
+    exact content (shape, nnz, CRCs of the CSR structure), so a hit returns
+    bit-identical features; set DIFFMM_FEAT_CACHE=0 to disable, or to a
+    directory to relocate (default ``<repo>/data/.feat_cache``)."""
+    import os
+
+    key = (
+        mat.shape,
+        int(mat.nnz),
+        zlib.crc32(mat.indices.tobytes()),
+        zlib.crc32(mat.indptr.tobytes()),
+        zlib.crc32(mat.data.tobytes()),
+        k,
+    )
+    if key in _SVD_MEM_CACHE:
+        return _SVD_MEM_CACHE[key]
+    cache_env = os.environ.get("DIFFMM_FEAT_CACHE")
+    cache_dir = None
+    if cache_env != "0":
+        cache_dir = cache_env or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "data",
+            ".feat_cache",
+        )
+    tag = (
+        f"{mat.shape[0]}x{mat.shape[1]}_{mat.nnz}"
+        f"_{key[2]:08x}{key[3]:08x}{key[4]:08x}_k{k}"
+    )
+    path = cache_dir and os.path.join(cache_dir, f"svd_{tag}.npy")
+    if path and os.path.exists(path):
+        feats = np.load(path)
+    else:
+        from scipy.sparse.linalg import svds
+
         # fixed start vector => deterministic Lanczos iteration
         _, s, vt = svds(mat, k=k, v0=np.ones(min(mat.shape), dtype=np.float32))
         feats = (vt.T * s).astype(np.float32)  # (I, k), top directions last
         feats /= max(float(feats.std()), 1e-8)
-        if k < dim:
-            feats = np.pad(feats, ((0, 0), (0, dim - k)))
-        return feats
-    rng = np.random.default_rng(abs(hash((name, modality))) % (2**32))
-    return rng.standard_normal((item_num, dim), dtype=np.float32)
+        if path:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as fh:  # np.save(path) would append .npy
+                np.save(fh, feats)
+            os.replace(tmp, path)  # atomic: concurrent children don't race
+    _SVD_MEM_CACHE[key] = feats
+    return feats
 
 
 @dataclass
