@@ -48,8 +48,12 @@ def test_negatives_vary_with_key(tiny_data):
 def test_synthetic_structured_dense_users_stay_rectangular():
     """A near-saturated structured synthetic set leaves some users with
     fewer than test_per_user held-out candidates; the per-user test lists
-    must stay rectangular (padded with repeats) with test_counts recording
-    the true sizes."""
+    must stay rectangular, padded with the -1 sentinel eval masks (a
+    repeated real id would double-count hits — advisor r2), and
+    test_counts must record the TRUE candidate size (0 allowed: the
+    metrics guard with max(counts, 1) and ideal-DCG[0] = 0)."""
+    import numpy as np
+
     from diffmm_tpu.config import Config
     from diffmm_tpu.data.synthetic import make_synthetic_host_data
 
@@ -59,5 +63,14 @@ def test_synthetic_structured_dense_users_stay_rectangular():
         seed=0, structure_rank=2,
     )
     assert host.test_items.shape == (6, 4)
-    assert (host.test_counts >= 1).all()
+    assert (host.test_counts >= 0).all()
     assert (host.test_counts <= 4).all()
+    # near-saturated: at least one user must actually be short
+    assert (host.test_counts < 4).any()
+    for u in range(6):
+        c = host.test_counts[u]
+        row = host.test_items[u]
+        assert (row[:c] >= 0).all() and (row[:c] < 5).all()
+        assert (row[c:] == -1).all(), row
+        # real entries are distinct (no double-countable repeats)
+        assert len(np.unique(row[:c])) == c
