@@ -102,8 +102,7 @@ def main() -> int:
     roofline_fraction = None
     if jax.default_backend() == "tpu" and coach.dense_graphs:
         adj_pass_bytes = (
-            host.user_num * host.item_num
-            * jax.numpy.dtype(coach.dense_store_dtype).itemsize
+            host.user_num * host.item_num * coach.dense_store_bytes_per_cell
         )
         n_joint_blocks = max(1, -(-host.nnz // config.train.batch))
         joint_s = phase_medians.get("joint")

@@ -123,9 +123,10 @@ class TrainConfig:
     # halves the HBM bytes of the workload's dominant operand — measured
     # 0.585 vs 0.737 s/epoch (1.26x) on v5e/tiktok, with the int8->bf16
     # convert fused into the matmuls (no materialized copy). Op-for-op the
-    # math is identical (0/1 exact in both dtypes), but XLA may schedule
+    # math is identical (0/1 exact in every option), but XLA may schedule
     # reductions differently across compiles, so long training trajectories
-    # vary within the usual seed-level band. "bf16" opts out.
+    # vary within the usual seed-level band. "bf16" opts out; "int4" packs
+    # two cells per HBM byte (exact too — measured A/B in DESIGN.md).
     dense_store: str = "int8"
 
 

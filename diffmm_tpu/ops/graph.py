@@ -219,8 +219,8 @@ class DenseBiAdj(NamedTuple):
 
     Attributes:
       mat: (U, I) 0/1 interaction matrix (no normalization folded in);
-        stored bf16 or int8 (``train.dense_store`` — int8 halves the bytes,
-        converted to bf16 at the matmul, bit-identical results).
+        stored bf16, int8 or packed int4 (``train.dense_store`` — narrower
+        moves fewer bytes, converted to bf16 at the matmul, identical math).
       s_user: (U,) f32 ``(deg_u + 1)^-1/2``.
       s_item: (I,) f32 ``(deg_i + 1)^-1/2``.
     """
@@ -258,8 +258,14 @@ def build_dense_bi_adj_device(
         ones, ui_rows, num_segments=user_num, indices_are_sorted=rows_sorted
     )
     deg_i = jax.ops.segment_sum(ones, ui_cols, num_segments=item_num)
-    mat = jnp.zeros((user_num, item_num), dtype=store_dtype)
-    mat = mat.at[ui_rows, ui_cols].set(jnp.ones((), dtype=store_dtype), mode="drop")
+    # sub-byte stores scatter at byte width then narrow (scatter-into-s4
+    # needs read-modify-write on packed nibbles; the one-shot convert is the
+    # cheap, portable form)
+    scatter_dtype = jnp.int8 if jnp.dtype(store_dtype) == jnp.int4 else jnp.dtype(store_dtype)
+    mat = jnp.zeros((user_num, item_num), dtype=scatter_dtype)
+    mat = mat.at[ui_rows, ui_cols].set(jnp.ones((), dtype=scatter_dtype), mode="drop")
+    if scatter_dtype != store_dtype:
+        mat = mat.astype(store_dtype)
     return DenseBiAdj(
         mat=mat,
         s_user=jax.lax.rsqrt(deg_u + 1.0),

@@ -55,16 +55,35 @@ _build_dense_adj_jit = partial(
 DENSE_GRAPH_BUDGET_BYTES = 4 << 30
 
 
+def resolve_dense_store(name: str) -> tuple:
+    """``train.dense_store`` -> (storage dtype, packed HBM bytes/cell).
+
+    The 0/1 dense blocks are exact in every option; narrower just moves
+    fewer bytes per propagation pass (XLA fuses the ->bf16 convert into the
+    matmul reads). int4 packs two cells per byte on TPU — dtype.itemsize
+    reports the unpacked host view, hence the explicit table."""
+    table = {
+        "int8": (jnp.int8, 1.0),
+        "bf16": (jnp.bfloat16, 2.0),
+        "int4": (jnp.int4, 0.5),
+    }
+    if name not in table:
+        raise ValueError(
+            f"train.dense_store must be int8|bf16|int4, got {name!r}"
+        )
+    return table[name]
+
+
 def choose_graph_form(
     form: str, n_modal: int, user_num: int, item_num: int,
     model_parallel: int = 1, bytes_per_cell: int = 2,
 ) -> bool:
     """True -> dense MXU form. ``form``: auto|dense|sparse (validated).
-    ``bytes_per_cell``: dense-block storage width (2 for the bf16 default,
-    1 for int8 — which covers twice the catalog)."""
+    ``bytes_per_cell``: dense-block storage width (1 for the int8 default,
+    2 for bf16, 0.5 for packed int4 — narrower covers more catalog)."""
     if form == "auto":
         bytes_needed = (n_modal + 1) * user_num * item_num * bytes_per_cell
-        if bytes_per_cell == 1:
+        if bytes_per_cell < 2:
             # int8 storage: reserve for ONE transient bf16 operand copy in
             # case XLA materializes (rather than fuses) the convert at this
             # shape — fusion is a scheduling choice, not a contract, and
@@ -109,23 +128,19 @@ class Coach:
         from diffmm_tpu.parallel.mesh import MODEL_AXIS
 
         model_parallel = mesh.shape[MODEL_AXIS] if mesh is not None else 1
-        if config.train.dense_store == "int8":
-            self.dense_store_dtype = jnp.int8
-        elif config.train.dense_store == "bf16":
-            self.dense_store_dtype = jnp.bfloat16
-        else:
-            raise ValueError(
-                f"train.dense_store must be int8|bf16, got "
-                f"{config.train.dense_store!r}"
-            )
-        # int8 storage budgets at 1 B/cell: the epoch A/B (0.585 vs 0.737
-        # s/epoch) proves XLA fuses the int8->bf16 convert into the matmul
-        # reads — no bf16 temporary is materialized, so storage bytes are
-        # the real footprint and the dense form covers twice the catalog.
+        self.dense_store_dtype, bytes_per_cell = resolve_dense_store(
+            config.train.dense_store
+        )
+        # sub-bf16 storage budgets at its packed bytes/cell: the int8 epoch
+        # A/B (0.585 vs 0.737 s/epoch) proves XLA fuses the narrow->bf16
+        # convert into the matmul reads — no bf16 temporary is materialized,
+        # so storage bytes are the real footprint and the dense form covers
+        # a correspondingly larger catalog.
+        self.dense_store_bytes_per_cell = bytes_per_cell
         self.dense_graphs = choose_graph_form(
             config.train.graph_form, self.n_modal, host.user_num,
             host.item_num, model_parallel,
-            bytes_per_cell=jnp.dtype(self.dense_store_dtype).itemsize,
+            bytes_per_cell=bytes_per_cell,
         )
 
         if device is not None:

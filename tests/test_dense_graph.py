@@ -110,6 +110,44 @@ def test_int8_store_bit_identical_to_bf16(tiny_data):
     np.testing.assert_array_equal(np.asarray(yi8), np.asarray(yi16))
 
 
+def test_int4_store_bit_identical_to_int8(tiny_data):
+    """Packed-int4 dense blocks are the same 0/1 values (exact in s4), so
+    forward results must be bit-identical to the int8 store at a quarter of
+    bf16's HBM bytes."""
+    rows = jnp.asarray(tiny_data.train_rows)
+    cols = jnp.asarray(tiny_data.train_cols)
+    U, I = tiny_data.user_num, tiny_data.item_num
+    d8 = build_dense_bi_adj_device(rows, cols, user_num=U, item_num=I,
+                                   store_dtype=jnp.int8)
+    d4 = build_dense_bi_adj_device(rows, cols, user_num=U, item_num=I,
+                                   store_dtype=jnp.int4)
+    assert d4.mat.dtype == jnp.int4
+    np.testing.assert_array_equal(
+        np.asarray(d4.mat, dtype=np.int8), np.asarray(d8.mat)
+    )
+    rng = np.random.default_rng(5)
+    xu = jnp.asarray(rng.standard_normal((U, 16)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((I, 16)).astype(np.float32))
+    yu8, yi8 = spmm_bi(d8, xu, xi)
+    yu4, yi4 = spmm_bi(d4, xu, xi)
+    np.testing.assert_array_equal(np.asarray(yu4), np.asarray(yu8))
+    np.testing.assert_array_equal(np.asarray(yi4), np.asarray(yi8))
+
+
+def test_int4_epoch_runs(tiny_config, tiny_data):
+    """A full train epoch + eval with the int4 store (exercises the jitted
+    rebuild path that scatters int8 then narrows)."""
+    cfg = copy.deepcopy(tiny_config)
+    cfg.train.graph_form = "dense"
+    cfg.train.dense_store = "int4"
+    coach = Coach(cfg, tiny_data)
+    assert coach.dense_store_bytes_per_cell == 0.5
+    losses = coach.train_epoch(0)
+    assert np.isfinite(losses["Loss"])
+    metrics = coach.test_epoch()
+    assert 0.0 <= metrics["Recall"] <= 1.0
+
+
 def test_dense_store_config_validated(tiny_config, tiny_data):
     cfg = copy.deepcopy(tiny_config)
     cfg.train.dense_store = "fp8"

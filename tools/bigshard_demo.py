@@ -75,14 +75,9 @@ def main(argv=None) -> int:
     mesh = make_mesh(args.devices, model_parallel=args.model)
     data = shard_device_data(to_device(host, with_sparse_adj=False), mesh)
     # same storage mapping (and validation message) Coach applies
-    if cfg.train.dense_store == "int8":
-        store_dtype = jnp.int8
-    elif cfg.train.dense_store == "bf16":
-        store_dtype = jnp.bfloat16
-    else:
-        raise ValueError(
-            f"train.dense_store must be int8|bf16, got {cfg.train.dense_store!r}"
-        )
+    from diffmm_tpu.train.coach import resolve_dense_store
+
+    store_dtype, _ = resolve_dense_store(cfg.train.dense_store)
     adj = build_dense_bi_adj_device(
         data.train_rows, data.train_cols, host.user_num, host.item_num,
         store_dtype=store_dtype,
