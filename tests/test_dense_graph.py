@@ -148,6 +148,23 @@ def test_int4_epoch_runs(tiny_config, tiny_data):
     assert 0.0 <= metrics["Recall"] <= 1.0
 
 
+def test_int4_mesh_epoch_runs(tiny_config, tiny_data):
+    """int4 dense blocks shard over the (data, model) mesh like int8 — the
+    catalog-dim slices stay packed per device."""
+    from diffmm_tpu.parallel import make_mesh
+
+    cfg = copy.deepcopy(tiny_config)
+    cfg.train.graph_form = "dense"
+    cfg.train.dense_store = "int4"
+    cfg.train.batch = 8
+    cfg.train.test_batch = 8
+    coach = Coach(cfg, tiny_data, mesh=make_mesh(8, model_parallel=2))
+    losses = coach.train_epoch(0)
+    assert np.isfinite(losses["Loss"])
+    metrics = coach.test_epoch()
+    assert 0.0 <= metrics["Recall"] <= 1.0
+
+
 def test_dense_store_config_validated(tiny_config, tiny_data):
     cfg = copy.deepcopy(tiny_config)
     cfg.train.dense_store = "fp8"
