@@ -82,8 +82,12 @@ def main(argv=None) -> int:
     xi = jnp.asarray(rng.standard_normal((host.item_num, d), dtype=np.float32))
 
     spmm_fwd = jax.jit(lambda a, b: spmm_bi(adj, a, b))
+    # squared sum: a linear functional's grad is input-independent and XLA
+    # constant-folds the whole backward away
     spmm_grad = jax.jit(
-        jax.grad(lambda a, b: sum(jnp.sum(y) for y in spmm_bi(adj, a, b)), (0, 1))
+        jax.grad(
+            lambda a, b: sum(jnp.sum(y * y) for y in spmm_bi(adj, a, b)), (0, 1)
+        )
     )
 
     if not coach.dense_graphs:
