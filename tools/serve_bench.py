@@ -7,6 +7,21 @@ The reference has no serving path (SURVEY.md §5.4); these numbers back the
 README's serving section.
 
   python tools/serve_bench.py index.npz --requests 2000 --clients 4
+  python tools/serve_bench.py synthetic:9308,6710,64   # tiktok shape
+
+``synthetic:U,I,d`` builds a random-embedding index of that shape first —
+serving latency is one matmul + top-k and does not depend on the learned
+values, so this measures any deployment shape without a training run.
+
+Single-accelerator environments (e.g. one TPU behind the axon tunnel,
+where two device-holding processes stall each other): run THIS process
+CPU-forced and hand the accelerator to the spawned server only, via
+``SERVE_BENCH_CHILD_ENV`` — a JSON object of env overrides for the child
+(value null = unset):
+
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    SERVE_BENCH_CHILD_ENV='{"PALLAS_AXON_POOL_IPS":"127.0.0.1","JAX_PLATFORMS":"axon"}' \
+    python tools/serve_bench.py index.npz
 """
 
 from __future__ import annotations
@@ -16,12 +31,30 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import threading
 import time
 import urllib.error
 import urllib.request
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _synthesize_index(spec: str) -> str:
+    """`synthetic:U,I,d` -> temp npz path with random embeddings and a
+    tiktok-like ~12 items/user seen-mask (so mask_seen does real work)."""
+    u, i, d = (int(v) for v in spec.split(":", 1)[1].split(","))
+    rng = np.random.default_rng(0)
+    path = os.path.join(tempfile.mkdtemp(prefix="serve_bench_"), "index.npz")
+    np.savez(
+        path,
+        u_final=rng.standard_normal((u, d), dtype=np.float32),
+        i_final=rng.standard_normal((i, d), dtype=np.float32),
+        train_dense=(rng.random((u, i)) < 12.0 / i).astype(np.int8),
+    )
+    return path
 
 
 def _wait_health(base: str, deadline_s: float = 600.0) -> dict:
@@ -45,13 +78,22 @@ def main(argv=None) -> int:
     p.add_argument("--approx", action="store_true")
     args = p.parse_args(argv)
 
+    if args.index.startswith("synthetic:"):
+        args.index = _synthesize_index(args.index)
+
     cmd = [
         sys.executable, "-m", "diffmm_tpu.eval.serve_http", args.index,
         "--port", str(args.port), "--warmup", str(args.k),
     ]
     if args.approx:
         cmd.append("--approx")
-    server = subprocess.Popen(cmd, cwd=REPO)
+    env = os.environ.copy()
+    for key, val in json.loads(os.environ.get("SERVE_BENCH_CHILD_ENV", "{}")).items():
+        if val is None:
+            env.pop(key, None)
+        else:
+            env[key] = str(val)
+    server = subprocess.Popen(cmd, cwd=REPO, env=env)
     base = f"http://127.0.0.1:{args.port}"
     try:
         health = _wait_health(base)
@@ -104,6 +146,8 @@ def main(argv=None) -> int:
         out = {
             "metric": "serve_http_latency",
             "unit": "ms",
+            "users": health["users"],
+            "items": health["items"],
             "k": args.k,
             "clients": args.clients,
             "requests": len(lat),
