@@ -74,6 +74,31 @@ def resolve_dense_store(name: str) -> tuple:
     return table[name]
 
 
+_INT4_JIT_ARGS_OK: bool | None = None
+
+
+def int4_jit_args_supported() -> bool:
+    """Whether this backend accepts s4 arrays as jit ARGUMENTS.
+
+    int4 inside a jitted program lowers fine everywhere, but some
+    runtimes (observed: the axon-tunnel TPU backend, 2026-08) have no
+    native s4 transfer/shard path — `_array_shard_arg` re-enters jit to
+    repack and dies with `RecursionError: Recursively calling jit`
+    (committed or not; device_put doesn't help). The persistent dense
+    blocks cross the jit boundary every phase call, so int4 storage needs
+    this one-time (8, 8) probe; Coach falls back to int8 with a warning
+    when it fails."""
+    global _INT4_JIT_ARGS_OK
+    if _INT4_JIT_ARGS_OK is None:
+        try:
+            probe = jnp.zeros((8, 8), jnp.int4)
+            jax.jit(lambda a: a.astype(jnp.int8))(probe).block_until_ready()
+            _INT4_JIT_ARGS_OK = True
+        except RecursionError:
+            _INT4_JIT_ARGS_OK = False
+    return _INT4_JIT_ARGS_OK
+
+
 def choose_graph_form(
     form: str, n_modal: int, user_num: int, item_num: int,
     model_parallel: int = 1, bytes_per_cell: int = 2,
@@ -131,6 +156,18 @@ class Coach:
         self.dense_store_dtype, bytes_per_cell = resolve_dense_store(
             config.train.dense_store
         )
+        if (
+            self.dense_store_dtype == jnp.int4
+            and not int4_jit_args_supported()
+        ):
+            self.log.info(
+                "⚠️ backend cannot pass int4 arrays across the jit "
+                "boundary (recursive-jit repack); dense_store falling "
+                "back to int8"
+            )
+            self.dense_store_dtype, bytes_per_cell = resolve_dense_store(
+                "int8"
+            )
         # sub-bf16 storage budgets at its packed bytes/cell: the int8 epoch
         # A/B (0.585 vs 0.737 s/epoch) proves XLA fuses the narrow->bf16
         # convert into the matmul reads — no bf16 temporary is materialized,

@@ -134,6 +134,28 @@ def test_int4_store_bit_identical_to_int8(tiny_data):
     np.testing.assert_array_equal(np.asarray(yi4), np.asarray(yi8))
 
 
+def test_int4_falls_back_to_int8_without_backend_support(
+    tiny_config, tiny_data, monkeypatch
+):
+    """Backends that can't pass s4 arrays across the jit boundary
+    (observed: the axon-tunnel TPU — `RecursionError: Recursively calling
+    jit` in `_array_shard_arg`) get a logged int8 fallback, not a crash
+    mid-epoch. The capability probe is memoized; force its negative."""
+    import jax.numpy as jnp
+
+    from diffmm_tpu.train import coach as coach_mod
+
+    monkeypatch.setattr(coach_mod, "_INT4_JIT_ARGS_OK", False)
+    cfg = copy.deepcopy(tiny_config)
+    cfg.train.graph_form = "dense"
+    cfg.train.dense_store = "int4"
+    coach = Coach(cfg, tiny_data)
+    assert coach.dense_store_dtype == jnp.int8
+    assert coach.dense_store_bytes_per_cell == 1.0
+    losses = coach.train_epoch(0)
+    assert np.isfinite(losses["Loss"])
+
+
 def test_int4_epoch_runs(tiny_config, tiny_data):
     """A full train epoch + eval with the int4 store (exercises the jitted
     rebuild path that scatters int8 then narrows)."""
