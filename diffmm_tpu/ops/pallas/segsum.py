@@ -10,13 +10,19 @@ reduction can instead be computed chunk-by-chunk with a one-hot MXU matmul:
                                                 #   segments per E sorted edges
       onehot  = (local[:, None] == iota(E))     # (E, E)
       partial = onehotᵀ @ msgs_chunk            # (E, d) on the MXU
-      out[seg_ids[0] : seg_ids[0] + E] += partial
+      acc[seg_ids[0] : seg_ids[0] + E] += partial
 
-The output lives whole in VMEM across the sequential grid, so the dynamic-
-slice accumulation is a cheap on-chip read-modify-write; chunks touching the
-same boundary segment simply accumulate. Applies when `(num_segments, d)`
-fits VMEM — the regime where the dense (U, I) graph form does NOT fit HBM
-but the embedding tables easily fit on-chip (e.g. yelp-scale catalogs).
+The accumulator lives whole in a VMEM *scratch* buffer across the
+sequential grid (declared output stays in HBM and receives ONE explicit
+DMA at the last grid step), so the dynamic-slice accumulation is a cheap
+on-chip read-modify-write. Versus the earlier pipeline-managed VMEM output
+window this measured 1.3x faster at equal size (bit-identical results) and
+— with `vmem_limit_bytes` raised to the buffer's actual footprint — scales
+to >=160k segment rows at d=64 (82 MB scratch on v5e's 128 MB VMEM; the
+Mosaic default limit otherwise caps scratch at ~15.5 MB lane-padded).
+Applies when `(num_segments, round_up(d, 128))` f32 fits that budget — the
+regime where the dense (U, I) graph form does NOT fit HBM but the
+embedding tables easily fit on-chip (e.g. yelp-scale catalogs).
 
 Padding contract (matches ops/graph.py sentinels): pad edges carry
 seg_id == num_segments and zero messages, so they add nothing wherever the
@@ -36,12 +42,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _segsum_kernel(rows_ref, msgs_ref, out_ref):
+def _segsum_kernel(rows_ref, msgs_ref, out_ref, acc_ref, sem):
     c = pl.program_id(0)
+    nc = pl.num_programs(0)
 
     @pl.when(c == 0)
     def _():
-        out_ref[:, :] = jnp.zeros_like(out_ref)
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     rows = rows_ref[:, 0]  # (E,) sorted segment ids of this chunk
     u0 = rows[0]
@@ -56,8 +63,14 @@ def _segsum_kernel(rows_ref, msgs_ref, out_ref):
         (((0,), (0,)), ((), ())),  # onehotᵀ @ msgs -> (E, d)
         preferred_element_type=jnp.float32,
     )
-    cur = out_ref[pl.ds(u0, E), :]
-    out_ref[pl.ds(u0, E), :] = cur + partial
+    cur = acc_ref[pl.ds(u0, E), :]
+    acc_ref[pl.ds(u0, E), :] = cur + partial
+
+    @pl.when(c == nc - 1)
+    def _():
+        cp = pltpu.make_async_copy(acc_ref, out_ref, sem)
+        cp.start()
+        cp.wait()
 
 
 @functools.partial(
@@ -77,9 +90,14 @@ def _sorted_segment_sum_impl(
         seg_ids.astype(jnp.int32), (0, nnz_p - nnz),
         constant_values=num_segments,
     ).reshape(nnz_p, 1)
-    # output over-allocated by one chunk so the dynamic slice never clamps
-    # real rows; pad-chunk contributions land in the tail and are dropped
+    # accumulator over-allocated by one chunk so the dynamic slice never
+    # clamps real rows; pad-chunk contributions land in the tail and are
+    # dropped
     out_rows = _round_up(num_segments + chunk, 8)
+    # Mosaic's default scoped-VMEM limit caps scratch at ~15.5 MB
+    # (lane-padded); raise it to this call's measured footprint so the
+    # accumulator can use the chip's full VMEM (see segsum_fits_vmem)
+    vmem_limit = _segsum_vmem_bytes(out_rows, d, chunk) + 2 * 1024 * 1024
 
     out = pl.pallas_call(
         _segsum_kernel,
@@ -88,12 +106,15 @@ def _sorted_segment_sum_impl(
             pl.BlockSpec((chunk, 1), lambda c: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, d), lambda c: (c, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (out_rows, d), lambda c: (0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((out_rows, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((out_rows, d), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=min(vmem_limit, 110 * 1024 * 1024),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * nnz_p * chunk * d,
@@ -151,14 +172,25 @@ def _ssum_bwd(num_segments, chunk, interpret, seg_ids, g):
 sorted_segment_sum.defvjp(_ssum_fwd, _ssum_bwd)
 
 
+def _segsum_vmem_bytes(out_rows: int, d: int, chunk: int) -> int:
+    """Lane-padded VMEM footprint of one kernel call: the f32 accumulator
+    scratch pads its last dim to the 128-lane tile width, plus
+    double-buffered chunk inputs and the (chunk, chunk) one-hot."""
+    acc_bytes = out_rows * _round_up(d, 128) * 4
+    chunk_bytes = 2 * chunk * (_round_up(d, 128) * 4 + 128 * 4)
+    return acc_bytes + chunk_bytes + chunk * chunk * 4
+
+
 def segsum_fits_vmem(num_segments: int, d: int, chunk: int = 512) -> bool:
-    """VMEM budget: the resident output is allocated TWICE by the Mosaic
-    pipeline (read-modify-write copies — observed scoped-vmem OOM at
-    2x out bytes on v5e, 16 MB scoped limit), plus double-buffered chunk
-    inputs. Net: num_segments <= ~28k rows at d=64."""
-    out_bytes = _round_up(num_segments + chunk, 8) * d * 4
-    chunk_bytes = 2 * chunk * (d * 4 + 4) + chunk * chunk * 4
-    return 2 * out_bytes + 2 * chunk_bytes <= 15 * 1024 * 1024
+    """VMEM budget for the scratch accumulator. Measured on v5e (128 MB
+    VMEM/core): with ``vmem_limit_bytes`` raised to the footprint, an 82 MB
+    accumulator (160k rows at d=64) compiles and runs; we gate at 84 MB to
+    stay inside measured territory. (The earlier 2x-RMW/15 MB accounting
+    was the Mosaic *default* scoped limit on scratch, not a pipeline
+    doubling — lifted by the explicit limit.) Net: num_segments <= ~163k
+    rows at d<=128."""
+    out_rows = _round_up(num_segments + chunk, 8)
+    return _segsum_vmem_bytes(out_rows, d, chunk) <= 84 * 1024 * 1024
 
 
 def max_segments_in_vmem(d: int, chunk: int = 512) -> int:
