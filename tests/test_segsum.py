@@ -194,3 +194,21 @@ def test_sparse_mesh_epoch_parity(tiny_config, tiny_data, monkeypatch):
         np.testing.assert_allclose(r_mesh[k], r_one[k], rtol=2e-4, atol=2e-5)
     for k in e_one:
         np.testing.assert_allclose(e_mesh[k], e_one[k], rtol=2e-4, atol=2e-5)
+
+
+def test_vmem_budget_window():
+    """Pin the measured v5e 84 MB scratch budget: the per-call window must
+    stay in the round-3 regime (~167k rows at d<=128; was 25k under the
+    old default-scoped-limit accounting). A formula regression here
+    silently multiplies plan piece counts."""
+    from diffmm_tpu.ops.pallas.segsum import (
+        max_segments_in_vmem,
+        segsum_fits_vmem,
+    )
+
+    assert max_segments_in_vmem(64) > 150_000
+    # lane padding: d=64 and d=128 share one footprint
+    assert max_segments_in_vmem(64) == max_segments_in_vmem(128)
+    # measured-on-TPU boundary: 160k rows (82 MB) ran; gate is 84 MB
+    assert segsum_fits_vmem(160_000, 64)
+    assert not segsum_fits_vmem(400_000, 64)
