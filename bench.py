@@ -64,6 +64,19 @@ def main() -> int:
             phase_times.setdefault(name, []).append(total)
         print(f"epoch {ep}: {times[-1]:.2f}s", file=sys.stderr, flush=True)
 
+    # Fenced-attribution epochs: per-phase timers with a device fence at
+    # every phase boundary. Without fences, a phase ending in a dispatch
+    # (rebuild — its outputs feed the joint scan) bills its device time to
+    # the next phase that blocks; the unfenced "joint" median historically
+    # carried most of the rebuild's device time. Unfenced totals above stay
+    # the headline (production epochs overlap); these are the attribution.
+    fenced_phase_times: dict[str, list[float]] = {}
+    for ep in range(3):
+        coach.timer.reset()
+        coach.train_epoch(epochs + ep, fence=True)
+        for name, total in coach.timer.totals.items():
+            fenced_phase_times.setdefault(name, []).append(total)
+
     # Eval latency: full-catalog ranking over all test users (the serving-
     # shaped program). First call may compile; median of the rest.
     eval_times = []
@@ -104,6 +117,10 @@ def main() -> int:
         return round(v[len(v) // 2], 4)
 
     phase_medians = {k: _median_steady(v) for k, v in phase_times.items()}
+    fenced_medians = {
+        k: round(sorted(v)[len(v) // 2], 4)
+        for k, v in fenced_phase_times.items()
+    }
 
     # Joint-step HBM-roofline fraction (machine-checkable form of the
     # DESIGN.md roofline claim): the exact joint-step algorithm moves ~26
@@ -117,7 +134,9 @@ def main() -> int:
             host.user_num * host.item_num * coach.dense_store_bytes_per_cell
         )
         n_joint_blocks = max(1, -(-host.nnz // config.train.batch))
-        joint_s = phase_medians.get("joint")
+        # attribution from the FENCED joint median: the unfenced one absorbs
+        # upstream (rebuild) device time and understates the fraction
+        joint_s = fenced_medians.get("joint") or phase_medians.get("joint")
         if joint_s:
             roofline_s = 26 * adj_pass_bytes / 819e9
             roofline_fraction = round(
@@ -142,6 +161,7 @@ def main() -> int:
                     "epoch_seconds_median_steady": round(epoch_s, 3),
                     "epoch_seconds_all": [round(t, 2) for t in times],
                     "phase_seconds_median_steady": phase_medians,
+                    "phase_seconds_fenced": fenced_medians,
                     "joint_hbm_roofline_fraction": roofline_fraction,
                     "eval_seconds_median": round(eval_s, 3),
                     "sparse_epoch_seconds_median": (

@@ -128,6 +128,13 @@ class TrainConfig:
     # vary within the usual seed-level band. "bf16" opts out; "int4" packs
     # two cells per HBM byte (exact too — measured A/B in DESIGN.md).
     dense_store: str = "int8"
+    # Rebuild top-k implementation. "approx" = lax.approx_max_k with
+    # recall_target=1.0 (the TPU PartialReduce custom call, measured 2.9 vs
+    # 3.7 ms for lax.top_k at tiktok shape): identical VALUES and
+    # value-sorted output, index order differs only on exact float ties —
+    # where the reference's torch.topk order is unspecified too. "exact"
+    # keeps lax.top_k.
+    rebuild_topk: str = "approx"
 
 
 @dataclass

@@ -205,32 +205,60 @@ def max_segments_in_vmem(d: int, chunk: int = 512) -> int:
     return lo
 
 
+def default_max_edges_per_piece(d: int) -> int:
+    """HBM bound on one piece's transient edge gather: the kernel's msgs
+    input is an (E, d) f32 slice of the per-edge gather, and XLA bounds the
+    materialized gather to the largest piece when pieces are sliced (a
+    single all-edges piece forces the FULL (nnz, d) gather — observed
+    26.8 GB HBM OOM at 104.8M edges, d=64). 1 GB per piece keeps the
+    transient comfortably inside a 16 GB chip alongside the embeddings."""
+    return (1 << 30) // (d * 4)
+
+
 def make_segsum_plan(
-    ids_sorted, num_segments: int, d: int, chunk: int = 512
+    ids_sorted,
+    num_segments: int,
+    d: int,
+    chunk: int = 512,
+    max_edges_per_piece: int | None = None,
 ):
     """Host-side plan for arbitrarily many segments: split the (STATIC)
-    sorted-id layout into segment ranges that each fit VMEM, with static
-    edge boundaries found by searchsorted. Returns a tuple of
+    sorted-id layout into segment ranges that each fit the VMEM window AND
+    the per-piece edge budget (which bounds the transient (E, d) gather in
+    HBM — see :func:`default_max_edges_per_piece`), with static edge
+    boundaries found by searchsorted. Returns a tuple of
     ``(edge_lo, edge_hi, seg_lo, seg_hi)`` pieces, or None when any piece
     fails the chunk-span window check (the kernel would drop entries).
     Sentinel ids (== num_segments) fall after the last piece and are
-    excluded entirely."""
+    excluded entirely. A single segment with more edges than the budget
+    becomes its own oversized piece (it cannot split below segment
+    granularity)."""
     import numpy as np
 
     ids = np.asarray(ids_sorted)
     max_rows = max_segments_in_vmem(d, chunk) - chunk  # slack for the window
     if max_rows <= 0:
         return None
+    if max_edges_per_piece is None:
+        max_edges_per_piece = default_max_edges_per_piece(d)
     pieces = []
-    for seg_lo in range(0, num_segments, max_rows):
+    seg_lo = 0
+    while seg_lo < num_segments:
         seg_hi = min(seg_lo + max_rows, num_segments)
         edge_lo = int(np.searchsorted(ids, seg_lo, "left"))
         edge_hi = int(np.searchsorted(ids, seg_hi, "left"))
+        if edge_hi - edge_lo > max_edges_per_piece:
+            # largest segment prefix inside the edge budget; position
+            # edge_lo+budget holds the first segment that must overflow
+            cut = int(ids[edge_lo + max_edges_per_piece])
+            seg_hi = max(seg_lo + 1, min(cut, seg_hi))
+            edge_hi = int(np.searchsorted(ids, seg_hi, "left"))
         if edge_hi > edge_lo and not spans_fit(
             ids[edge_lo:edge_hi] - seg_lo, seg_hi - seg_lo, chunk
         ):
             return None
         pieces.append((edge_lo, edge_hi, seg_lo, seg_hi))
+        seg_lo = seg_hi
     return tuple(pieces)
 
 

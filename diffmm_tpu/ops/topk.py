@@ -25,6 +25,69 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def topk_table(scores: jax.Array, k_max: int, impl: str = "approx") -> jax.Array:
+    """Per-row top-``k_max`` item indices, value-sorted descending.
+
+    ``impl="approx"`` uses ``lax.approx_max_k(recall_target=1.0)`` — the TPU
+    PartialReduce custom call, measured 2.9 vs 3.7 ms for ``lax.top_k`` at
+    (1024, 6710) k=603. With recall 1.0 the returned VALUES are identical to
+    ``top_k`` and the output is value-sorted; index order differs only on
+    exact float ties (measured 14 of 617k slots on gaussian scores), where
+    the reference's ``torch.topk`` order is unspecified too
+    (reference Main.py:224-230; SURVEY.md §7.3)."""
+    if impl == "approx":
+        _, idx = jax.lax.approx_max_k(scores, k_max, recall_target=1.0)
+    elif impl == "exact":
+        _, idx = jax.lax.top_k(scores, k_max)
+    else:
+        raise ValueError(f"rebuild_topk must be approx|exact, got {impl!r}")
+    return idx.astype(jnp.int32)
+
+
+def make_csr_gather_layout(
+    degrees: np.ndarray, buf_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Static host-side layout for the gather-form CSR edge-buffer build.
+
+    For CSR position ``p`` of user ``u`` (``offsets[u] <= p <
+    offsets[u]+degrees[u]``): ``u_of_pos[p] = u``, ``lane_of_pos[p] = p -
+    offsets[u]`` (< degree, so always a kept top-k lane). Pad positions
+    (``p >= nnz``) gather row 0 lane 0 and are overwritten with the
+    ``item_num`` sentinel via ``pad_mask``. Returns int32
+    ``(u_of_pos, lane_of_pos, pad_mask)`` of length ``buf_len``."""
+    degrees = np.asarray(degrees, dtype=np.int64)
+    nnz = int(degrees.sum())
+    assert nnz <= buf_len, (nnz, buf_len)
+    u_of_pos = np.zeros(buf_len, dtype=np.int32)
+    u_of_pos[:nnz] = np.repeat(
+        np.arange(len(degrees), dtype=np.int32), degrees
+    )
+    offsets = np.cumsum(degrees) - degrees
+    lane_of_pos = np.zeros(buf_len, dtype=np.int32)
+    lane_of_pos[:nnz] = np.arange(nnz, dtype=np.int64) - offsets[u_of_pos[:nnz]]
+    pad_mask = np.zeros(buf_len, dtype=bool)
+    pad_mask[nnz:] = True
+    return u_of_pos, lane_of_pos, pad_mask
+
+
+def csr_gather_build(
+    table: jax.Array,
+    u_of_pos: jax.Array,
+    lane_of_pos: jax.Array,
+    pad_mask: jax.Array,
+    item_num: int,
+) -> jax.Array:
+    """Build the user-major CSR edge buffer from a (U, k_max) top-index
+    table by one static gather — the scatter-free form of
+    :func:`topk_scatter_edges` for the identity-ordered epoch rebuild
+    (measured: the per-block masked scatter cost 2.9 ms x 30 blocks/epoch;
+    this is one sub-ms gather per modality per epoch). Pad lanes return the
+    ``item_num`` sentinel so they drop from the rebuilt adjacency."""
+    edges = table[u_of_pos, lane_of_pos]
+    return jnp.where(pad_mask, jnp.int32(item_num), edges)
 
 
 def topk_scatter_edges(

@@ -196,9 +196,17 @@ class Coach:
             config.hyper.steps,
         )
         self.edge_buf_len = host.nnz + (-host.nnz % EDGE_ALIGN)
+        # static CSR layout for the gather-form rebuild (ops/topk.py):
+        # u_of_pos / lane_of_pos / pad_mask, device-resident once
+        from diffmm_tpu.ops.topk import make_csr_gather_layout
+
+        self.csr_gather_layout = tuple(
+            jnp.asarray(a)
+            for a in make_csr_gather_layout(host.user_degrees, self.edge_buf_len)
+        )
         self.segsum_plans = self._segsum_gate()
         self.steps = make_train_steps(
-            config, self.schedule, self.n_modal, host.k_max, self.edge_buf_len,
+            config, self.schedule, self.n_modal, host.k_max,
             segsum_plans=self.segsum_plans,
         )
         self.cum_dcg = dcg_table(config.base.topk)
@@ -457,7 +465,17 @@ class Coach:
         return adj
 
     # ----------------------------------------------------------------- epoch
-    def train_epoch(self, epoch: int) -> dict[str, float]:
+    def train_epoch(self, epoch: int, fence: bool = False) -> dict[str, float]:
+        """One training epoch (phases 0-3).
+
+        ``fence=True`` blocks on each phase's device results inside that
+        phase's timer, making the per-phase timings honest attribution at
+        the cost of inter-phase overlap: without it, phases that end in a
+        dispatch (rebuild, whose outputs feed the joint scan) bill their
+        device time to the NEXT phase that blocks — measured on tiktok the
+        unfenced "joint" number carried most of the rebuild's device time.
+        Default off: production epochs should overlap; bench/profiling
+        passes fence=True for attribution."""
         cfg = self.config
         data = self.data
         batch = cfg.train.batch
@@ -473,6 +491,8 @@ class Coach:
             negs = negative_sampling(
                 self._next_key(), data.train_rows, data.train_dense, self.host.item_num
             )
+            if fence:
+                jax.block_until_ready(negs)
 
         # Phase 1: diffusion training (reference Main.py:144-192) — all blocks
         # in one compiled scan (the reference dispatches per DataLoader batch)
@@ -509,37 +529,32 @@ class Coach:
             if self.modal_adjs is None:
                 self.modal_adjs = self._knn_adjs()
             return self._joint_phase(epoch, lr, negs, modal_loss_acc, hp)
-        # same block layout as phase 1 (identical n/batch)
+        # same block layout as phase 1 (identical n/batch); IDENTITY user
+        # order — the stacked per-block top-k tables then form a (U_pad,
+        # k_max) matrix and the CSR buffers build by one gather (no scatter)
         users_seq = jnp.asarray(idx)
-        valid_seq = jnp.asarray(valid)
-        # Buffers start at the item_num sentinel so pad lanes (beyond the real
-        # nnz edges) drop out of the rebuilt adjacency's segment_sums.
-        edge_buffers = [
-            jnp.full(self.edge_buf_len, self.host.item_num, dtype=jnp.int32)
-            for _ in range(self.n_modal)
-        ]
-        if self.mesh is not None:
-            edge_buffers = [shard_batch(b, self.mesh) for b in edge_buffers]
         n_reb_blocks = len(idx) // batch
         with self.timer.phase("rebuild"):
             edge_buffers = self.steps.rebuild_epoch(
                 self.dn_params,
                 data.train_dense,
                 self._put_blocks(users_seq.reshape(n_reb_blocks, batch)),
-                data.user_degrees,
-                data.csr_offsets,
-                self._put_blocks(valid_seq.reshape(n_reb_blocks, batch)),
-                edge_buffers,
                 jax.random.split(self._next_key(), n_reb_blocks),
                 # traced scalar: sweeps change it without a retrace; inside
                 # the jitted program the dynamic q_sample+where path runs
                 # regardless (its cost is noise next to the denoiser MLPs)
                 jnp.int32(cfg.hyper.sampling_step),
+                *self.csr_gather_layout,
+                self.host.item_num,
             )
+            if self.mesh is not None:
+                edge_buffers = [shard_batch(b, self.mesh) for b in edge_buffers]
             self.edge_buffers = edge_buffers
             self.modal_adjs = [
                 self._make_adj(data.train_rows, buf) for buf in edge_buffers
             ]
+            if fence:
+                jax.block_until_ready((edge_buffers, self.modal_adjs))
 
         return self._joint_phase(epoch, lr, negs, modal_loss_acc, hp)
 

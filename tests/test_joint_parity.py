@@ -124,7 +124,7 @@ def test_joint_loss_and_grads_match_torch(tiny_config, tiny_data, cl_method):
         host.feat_dims,
     )
     schedule = make_schedule(0.1, 1e-4, 0.02, 5)
-    steps = make_train_steps(cfg, schedule, len(host.modalities), host.k_max, 256)
+    steps = make_train_steps(cfg, schedule, len(host.modalities), host.k_max)
 
     rng = np.random.default_rng(1)
     users = jnp.asarray(rng.integers(0, host.user_num, 16).astype(np.int32))

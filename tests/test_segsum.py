@@ -212,3 +212,31 @@ def test_vmem_budget_window():
     # measured-on-TPU boundary: 160k rows (82 MB) ran; gate is 84 MB
     assert segsum_fits_vmem(160_000, 64)
     assert not segsum_fits_vmem(400_000, 64)
+
+
+def test_plan_edge_budget(rng):
+    """Pieces respect the per-piece edge cap (the HBM bound on the
+    transient (E, d) gather); a single hub segment may exceed it alone."""
+    from diffmm_tpu.ops.pallas.segsum import make_segsum_plan
+
+    num_segments = 600
+    ids = np.sort(rng.integers(0, num_segments, 10_000)).astype(np.int32)
+    plan = make_segsum_plan(ids, num_segments, d=8, chunk=64,
+                            max_edges_per_piece=1500)
+    assert plan is not None and len(plan) >= 6
+    for edge_lo, edge_hi, seg_lo, seg_hi in plan:
+        assert seg_hi > seg_lo
+        assert edge_hi - edge_lo <= 1500 or seg_hi - seg_lo == 1
+    # contiguous, complete cover
+    assert plan[0][2] == 0 and plan[-1][3] == num_segments
+    assert all(a[3] == b[2] for a, b in zip(plan, plan[1:]))
+    assert plan[0][0] == 0 and plan[-1][1] == len(ids)
+
+    # hub segment: one segment with more edges than the budget
+    hub = np.sort(
+        np.concatenate([np.zeros(5000, np.int32),
+                        rng.integers(1, 50, 500).astype(np.int32)])
+    )
+    plan = make_segsum_plan(hub, 50, d=8, chunk=64, max_edges_per_piece=1000)
+    assert plan is not None
+    assert plan[0][2] == 0 and plan[0][3] == 1  # the hub rides alone

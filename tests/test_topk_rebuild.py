@@ -84,3 +84,58 @@ def test_multi_block_accumulation(rng):
             buf,
         )
     assert (np.asarray(buf) >= 0).all()
+
+
+def test_gather_build_matches_scatter(rng):
+    """The round-3 gather-form CSR build == the scatter oracle for an
+    identity-ordered full pass over all users (exact top-k)."""
+    import jax.numpy as jnp
+
+    from diffmm_tpu.ops.topk import (
+        csr_gather_build,
+        make_csr_gather_layout,
+        topk_table,
+    )
+
+    U, I, k_max = 37, 23, 9
+    degrees = rng.integers(1, k_max + 1, U).astype(np.int32)
+    offsets = (np.cumsum(degrees) - degrees).astype(np.int32)
+    nnz = int(degrees.sum())
+    buf_len = nnz + (-nnz % 8)
+    scores = jnp.asarray(rng.standard_normal((U, I)).astype(np.float32))
+
+    # oracle: the block scatter over the same identity-ordered users
+    buf = jnp.full((buf_len,), I, jnp.int32)
+    buf = topk_scatter_edges(
+        scores, jnp.asarray(degrees), jnp.asarray(offsets),
+        jnp.ones((U,), bool), k_max, buf_len, buf,
+    )
+
+    table = topk_table(scores, k_max, impl="exact")
+    u_of_pos, lane_of_pos, pad_mask = make_csr_gather_layout(degrees, buf_len)
+    got = csr_gather_build(
+        table, jnp.asarray(u_of_pos), jnp.asarray(lane_of_pos),
+        jnp.asarray(pad_mask), I,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(buf))
+
+
+def test_topk_table_approx_matches_exact_sets(rng):
+    """approx (recall_target=1.0) selects the same top-k SET as exact and
+    is value-sorted, so each user's top-``degree`` prefix selects the same
+    items up to float ties (none here: continuous scores)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffmm_tpu.ops.topk import topk_table
+
+    scores = jnp.asarray(rng.standard_normal((16, 200)).astype(np.float32))
+    a = topk_table(scores, 50, impl="approx")
+    e = topk_table(scores, 50, impl="exact")
+    v = np.asarray(scores)
+    va = np.take_along_axis(v, np.asarray(a), axis=1)
+    ve = np.take_along_axis(v, np.asarray(e), axis=1)
+    np.testing.assert_array_equal(va, ve)  # same values in the same order
+    # and every prefix (= per-user degree cut) selects the same value set
+    for k in (1, 7, 50):
+        np.testing.assert_array_equal(np.sort(va[:, :k]), np.sort(ve[:, :k]))

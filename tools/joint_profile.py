@@ -1,8 +1,8 @@
 """Decompose the joint-step time into measured components.
 
 DESIGN.md's roofline argues the dense-form joint step is adjacency-traffic
-bound with a VPU-work remainder; this tool turns that narrative into
-numbers by timing jitted sub-programs of the SAME step on the live device:
+plus-VPU bound; this tool turns that narrative into numbers by timing
+jitted sub-programs of the SAME step on the live device:
 
   * ``spmm_fwd`` / ``spmm_bwd`` — one propagation pass over the (U, I)
     dense adjacency (the unit the roofline counts ~26 of per step)
@@ -10,7 +10,17 @@ numbers by timing jitted sub-programs of the SAME step on the live device:
   * ``joint_nocl`` — value_and_grad of BPR + L2 only (no CL terms)
   * ``joint_step`` — the real training step (forward + CL + grad + Adam)
 
-  python tools/joint_profile.py -c conf/tiktok_tuned.toml --reps 100
+Methodology note (round 3): this environment dispatches every jitted call
+through a remote-TPU tunnel with ~25-30 ms round-trip overhead — larger
+than any of the timed programs — so per-call wall timing is meaningless.
+Each sub-program is instead iterated K times INSIDE one jitted
+``lax.scan`` whose body consumes a carried scalar (a 1e-30-scaled probe of
+the previous iteration's output, so XLA cannot hoist the loop-invariant
+body) and the whole-program time minus one measured dispatch is divided
+by K. This is the same amortized regime as the real epoch, which runs all
+58 train blocks in one scan program.
+
+  python tools/joint_profile.py -c conf/tiktok_tuned.toml --inner 32
 
 Prints one JSON line; record the breakdown in DESIGN.md. Run on the real
 TPU (single chip) — CPU timings are meaningless for this purpose.
@@ -31,22 +41,56 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, reps: int, warmup: int = 3) -> float:
-    """Median dispatched seconds of ``fn()`` (block_until_ready inside)."""
-    for _ in range(warmup):
-        jax.block_until_ready(fn())
+def median_time(fn, reps: int, warmup: int = 2) -> float:
+    """Median wall seconds of ``fn(i)`` (block_until_ready inside).
+
+    ``fn`` MUST vary its device inputs with the rep index ``i``: this
+    environment's remote-TPU tunnel memoizes repeated executions of the
+    same executable on the same argument buffers (observed: a 32-iteration
+    training-step loop "completing" in 0.3 ms, below one dispatch), so
+    identical calls time the cache, not the device."""
+    for i in range(warmup):
+        jax.block_until_ready(fn(-1 - i))
     ts = []
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        jax.block_until_ready(fn(i))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
+
+
+def make_looped(body, inner: int):
+    """Jit ``inner`` iterations of ``body(carry) -> carry`` as one scan
+    program. ``body`` must thread a data dependence through the carry so
+    XLA cannot hoist it out of the loop; the rep index seeds the carry so
+    no two outer reps present identical argument buffers."""
+
+    @jax.jit
+    def run(carry):
+        def step(c, _):
+            return body(c), None
+
+        out, _ = jax.lax.scan(step, carry, None, length=inner)
+        return out
+
+    return lambda i: run(jnp.float32(i) * 1e-30)
+
+
+def probe_scalar(tree) -> jax.Array:
+    """A scalar data-dependent on ``tree``, scaled to numerical nothing —
+    carried between scan iterations purely to defeat loop hoisting."""
+    leaves = [jnp.sum(x) for x in jax.tree.leaves(tree) if jnp.issubdtype(
+        jnp.asarray(x).dtype, jnp.floating)]
+    return jnp.asarray(sum(leaves)) * 1e-30
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--config", "-c", default="conf/tiktok_tuned.toml")
-    p.add_argument("--reps", type=int, default=100)
+    p.add_argument("--inner", type=int, default=32,
+                   help="iterations inside each jitted scan program")
+    p.add_argument("--reps", type=int, default=7,
+                   help="outer repetitions (median taken)")
     p.add_argument("--data-root", default=None)
     args = p.parse_args(argv)
 
@@ -81,17 +125,41 @@ def main(argv=None) -> int:
     xu = jnp.asarray(rng.standard_normal((host.user_num, d), dtype=np.float32))
     xi = jnp.asarray(rng.standard_normal((host.item_num, d), dtype=np.float32))
 
-    spmm_fwd = jax.jit(lambda a, b: spmm_bi(adj, a, b))
-    # squared sum: a linear functional's grad is input-independent and XLA
-    # constant-folds the whole backward away
-    spmm_grad = jax.jit(
-        jax.grad(
-            lambda a, b: sum(jnp.sum(y * y) for y in spmm_bi(adj, a, b)), (0, 1)
-        )
-    )
-
     if not coach.dense_graphs:
         raise SystemExit("joint_profile targets the dense MXU form")
+
+    K, R = args.inner, args.reps
+
+    # dispatch overhead: a trivial program, timed the plain way
+    trivial = jax.jit(lambda x: x + 1.0)
+    dispatch_s = median_time(lambda i: trivial(jnp.float32(i)), reps=max(R, 10))
+
+    def amortized_ms(body) -> float:
+        t = median_time(make_looped(body, K), reps=R)
+        return (t - dispatch_s) / K * 1e3
+
+    # one propagation pass, forward
+    def spmm_body(c):
+        u2, i2 = spmm_bi(adj, xu + c, xi + c)
+        return probe_scalar((u2, i2))
+
+    # one propagation pass, backward (squared-sum objective: a linear
+    # functional's grad is input-independent and XLA folds it away)
+    spmm_g = jax.grad(
+        lambda a, b: sum(jnp.sum(y * y) for y in spmm_bi(adj, a, b)), (0, 1)
+    )
+
+    def spmm_bwd_body(c):
+        gu, gi = spmm_g(xu + c, xi + c)
+        return probe_scalar((gu, gi))
+
+    def fwd_body(c):
+        prm = jax.tree.map(
+            lambda x: x + c if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params,
+        )
+        out = coach.steps.gcn_forward(prm, adj, modal_adjs, data.raw_feats, hp)
+        return probe_scalar(out)
 
     def nocl_loss_dense(prm):
         out = gcn_mm(
@@ -103,26 +171,55 @@ def main(argv=None) -> int:
         rec = bpr_loss(u_e, out.i_final.take(pos, axis=0), out.i_final.take(neg, axis=0))
         return rec + l2_reg_loss(hp["reg"], [prm["u_embs"], prm["i_embs"]])
 
-    joint_nocl = jax.jit(jax.value_and_grad(nocl_loss_dense))
+    nocl_vg = jax.value_and_grad(nocl_loss_dense)
 
-    gcn_fwd = lambda: coach.steps.gcn_forward(
-        params, adj, modal_adjs, data.raw_feats, hp
-    )
-    joint = lambda: coach.steps.joint_step(
-        params, opt_state, adj, modal_adjs, data.raw_feats,
-        users, pos, neg, key, lr, hp,
+    def nocl_body(c):
+        prm = jax.tree.map(
+            lambda x: x + c if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params,
+        )
+        val, grads = nocl_vg(prm)
+        return probe_scalar((val, grads))
+
+    # the real step: params/opt_state thread through the carry naturally
+    def joint_body(carry):
+        prm, opt = carry
+        prm2, opt2, _ = coach.steps.joint_step(
+            prm, opt, adj, modal_adjs, data.raw_feats,
+            users, pos, neg, key, lr, hp,
+        )
+        return (prm2, opt2)
+
+    @jax.jit
+    def joint_loop(carry, eps):
+        prm, opt = carry
+        prm = jax.tree.map(
+            lambda x: x + eps if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            prm,
+        )
+
+        def step(c, _):
+            return joint_body(c), None
+
+        out, _ = jax.lax.scan(step, (prm, opt), None, length=K)
+        return out
+
+    t_joint = median_time(
+        lambda i: joint_loop((params, opt_state), jnp.float32(i) * 1e-30),
+        reps=R,
     )
 
-    r = args.reps
     res = {
         "config": args.config,
         "backend": jax.default_backend(),
         "dense_store": config.train.dense_store,
-        "spmm_fwd_ms": round(timeit(lambda: spmm_fwd(xu, xi), r) * 1e3, 3),
-        "spmm_bwd_ms": round(timeit(lambda: spmm_grad(xu, xi), r) * 1e3, 3),
-        "gcn_forward_ms": round(timeit(gcn_fwd, r) * 1e3, 3),
-        "joint_nocl_ms": round(timeit(lambda: joint_nocl(params), r) * 1e3, 3),
-        "joint_step_ms": round(timeit(joint, r) * 1e3, 3),
+        "inner_iters": K,
+        "dispatch_overhead_ms": round(dispatch_s * 1e3, 3),
+        "spmm_fwd_ms": round(amortized_ms(spmm_body), 3),
+        "spmm_bwd_ms": round(amortized_ms(spmm_bwd_body), 3),
+        "gcn_forward_ms": round(amortized_ms(fwd_body), 3),
+        "joint_nocl_ms": round(amortized_ms(nocl_body), 3),
+        "joint_step_ms": round((t_joint - dispatch_s) / K * 1e3, 3),
     }
     # derived: what CL + optimizer add on top of the plain BPR grad step
     res["cl_plus_adam_ms"] = round(res["joint_step_ms"] - res["joint_nocl_ms"], 3)
