@@ -520,7 +520,14 @@ class Coach:
                 lr,
                 hp,
             )
-            modal_loss_acc = np.asarray(acc)
+            # keep the loss accumulator ON DEVICE: materializing it here
+            # blocks the host on the diffusion dispatch (one full tunnel
+            # round-trip, ~28 ms on this environment) before rebuild/joint
+            # can even be enqueued. _joint_phase converts it after the
+            # joint accumulator has been fetched, when it is already ready.
+            modal_loss_acc = acc
+            if fence:
+                jax.block_until_ready(acc)
 
         # Phase 2: modality graph rebuild (reference Main.py:195-253), or the
         # KNN ablation (reference Main.py:118-134,255-288 — static per run,
@@ -598,6 +605,9 @@ class Coach:
             "CL loss": joint_acc[3] / train_steps_n,
         }
         names = {"image": "image loss", "text": "text loss", "audio": "audio loss"}
+        # by now the joint accumulator has been fetched, so the (earlier)
+        # diffusion accumulator is ready — this asarray does not stall
+        modal_loss_acc = np.asarray(modal_loss_acc)
         for m, mod in enumerate(self.host.modalities):
             result[names[mod]] = modal_loss_acc[m] / diff_steps_n
         return result
