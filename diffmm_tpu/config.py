@@ -135,6 +135,16 @@ class TrainConfig:
     # where the reference's torch.topk order is unspecified too. "exact"
     # keeps lax.top_k.
     rebuild_topk: str = "approx"
+    # TPU-specific: number of consecutive training epochs fused into ONE
+    # compiled program (a lax.scan over epochs). Each dispatch crosses the
+    # host->device boundary (~28 ms round-trip over this environment's
+    # tunnel) and the single-epoch path needs several per epoch; fusing E
+    # epochs amortizes that to ~1/E. The RNG stream advances exactly as the
+    # single-epoch path (same split order, same host permutation draws), so
+    # the trajectory is the same program order-of-operations aside. run()
+    # only fuses epochs with no interior eval/checkpoint boundary, so set
+    # tstEpoch >= epoch_scan for it to engage; 1 disables.
+    epoch_scan: int = 1
 
 
 @dataclass

@@ -209,6 +209,11 @@ class Coach:
             config, self.schedule, self.n_modal, host.k_max,
             segsum_plans=self.segsum_plans,
         )
+        if config.train.epoch_scan < 1:
+            raise ValueError(
+                f"train.epoch_scan must be >= 1, got {config.train.epoch_scan}"
+            )
+        self._fused_prog = None  # built lazily by train_epochs_fused
         self.cum_dcg = dcg_table(config.base.topk)
         # Eval program bound to (topk, mesh): under model_parallel > 1 the
         # scoring runs per catalog shard with an explicit distributed top-k.
@@ -612,6 +617,191 @@ class Coach:
             result[names[mod]] = modal_loss_acc[m] / diff_steps_n
         return result
 
+    # ----------------------------------------------------------- fused epochs
+    def _fused_adj_builder(self):
+        """In-program equivalent of :meth:`_make_adj` for the fused epoch
+        scan — same builders, with the mesh placements the single-epoch path
+        applies via device_put expressed as sharding constraints."""
+        from diffmm_tpu.ops.graph import (
+            build_bi_adj_device,
+            build_dense_bi_adj_device,
+        )
+
+        user_num, item_num = self.host.user_num, self.host.item_num
+        if not self.dense_graphs:
+            def build(rows, cols):
+                return build_bi_adj_device(
+                    rows, cols, user_num=user_num, item_num=item_num
+                )
+            return build
+
+        store = self.dense_store_dtype
+        mat_sh = rep_sh = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from diffmm_tpu.parallel.mesh import MODEL_AXIS
+
+            rep_sh = NamedSharding(self.mesh, P())
+            mat_sh = (
+                NamedSharding(self.mesh, P(None, MODEL_AXIS))
+                if item_num % self.mesh.shape[MODEL_AXIS] == 0
+                else rep_sh
+            )
+
+        def build(rows, cols):
+            adj = build_dense_bi_adj_device(
+                rows, cols, user_num=user_num, item_num=item_num,
+                store_dtype=store,
+            )
+            if mat_sh is not None:
+                adj = adj._replace(
+                    mat=jax.lax.with_sharding_constraint(adj.mat, mat_sh),
+                    s_user=jax.lax.with_sharding_constraint(adj.s_user, rep_sh),
+                    s_item=jax.lax.with_sharding_constraint(adj.s_item, rep_sh),
+                )
+            return adj
+
+        return build
+
+    def train_epochs_fused(self, epoch0: int, n: int) -> list[dict[str, float]]:
+        """Train epochs ``[epoch0, epoch0 + n)`` as ONE compiled program.
+
+        A ``lax.scan`` over full four-phase epochs (steps.make_epochs_fused)
+        — one dispatch instead of the single-epoch path's several per epoch.
+        The RNG key stream and the numpy permutation stream advance exactly
+        as ``n`` train_epoch calls would, so trajectories and checkpoints
+        stay interchangeable between the two paths
+        (tests/test_fused_epochs.py). Returns one result dict per epoch with
+        the same loss accounting as :meth:`train_epoch`.
+        """
+        cfg = self.config
+        if cfg.hyper.use_knn_adj:
+            raise ValueError(
+                "epoch fusion requires the diffusion rebuild path "
+                "(hyper.use_knn_adj rebuilds nothing per epoch)"
+            )
+        host = self.host
+        batch = cfg.train.batch
+        idx, valid = _pad_blocks(host.user_num, batch)
+        nb_d = len(idx) // batch
+        weight_blocks = self._put_blocks(
+            jnp.asarray(valid.astype(np.float32)).reshape(nb_d, batch)
+        )
+        reb_users = self._put_blocks(jnp.asarray(idx).reshape(nb_d, batch))
+        jidx, _ = _pad_blocks(host.nnz, batch)
+        nb_j = len(jidx) // batch
+
+        # per-epoch host draws, in the exact single-epoch order
+        diff_users = np.empty((n, nb_d, batch), np.int32)
+        joint_perms = np.empty((n, nb_j, batch), np.int32)
+        lrs = np.empty((n,), np.float32)
+        for e in range(n):
+            ep = epoch0 + e
+            lrs[e] = (
+                cosine_lr(ep, cfg.train.lr, self.total_epochs)
+                if cfg.train.use_lr_scheduler
+                else cfg.train.lr
+            )
+            user_perm = self.np_rng.permutation(host.user_num).astype(np.int32)
+            diff_users[e] = user_perm[idx % host.user_num].reshape(nb_d, batch)
+            perm = self.np_rng.permutation(host.nnz).astype(np.int32)
+            joint_perms[e] = perm[jidx % host.nnz].reshape(nb_j, batch)
+
+        def put3(x):
+            x = jnp.asarray(x)
+            if self.mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from diffmm_tpu.parallel.mesh import DATA_AXIS
+
+            return jax.device_put(
+                x, NamedSharding(self.mesh, P(None, None, DATA_AXIS))
+            )
+
+        if self.edge_buffers is not None:
+            bufs0 = tuple(self.edge_buffers)
+        else:
+            zero = jnp.zeros((self.edge_buf_len,), jnp.int32)
+            bufs0 = tuple(
+                shard_batch(zero, self.mesh) if self.mesh is not None else zero
+                for _ in range(self.n_modal)
+            )
+
+        if self._fused_prog is None:
+            from diffmm_tpu.train.steps import make_epochs_fused
+
+            cbuf = cblk = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from diffmm_tpu.parallel.mesh import DATA_AXIS
+
+                edge_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+                blk_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                cbuf = lambda b: jax.lax.with_sharding_constraint(b, edge_sh)
+                cblk = lambda b: jax.lax.with_sharding_constraint(b, blk_sh)
+            self._fused_prog = make_epochs_fused(
+                self.steps, host.item_num, self._fused_adj_builder(),
+                constrain_buf=cbuf, constrain_blocks=cblk,
+            )
+
+        data = self.data
+        with self.timer.phase("fused"):
+            (
+                self.key, self.dn_params, self.dn_opt_states, self.gcn_params,
+                self.gcn_opt_state, bufs, modal_accs, joint_accs,
+            ) = self._fused_prog(
+                self.key, self.dn_params, self.dn_opt_states, self.gcn_params,
+                self.gcn_opt_state, bufs0, data.raw_feats, data.train_dense,
+                data.train_rows, data.train_cols, data.adj,
+                put3(diff_users), weight_blocks, reb_users, put3(joint_perms),
+                jnp.asarray(lrs), self._hp(), jnp.int32(cfg.hyper.sampling_step),
+                *self.csr_gather_layout,
+            )
+        self.edge_buffers = list(bufs)
+        self.modal_adjs = [
+            self._make_adj(data.train_rows, buf) for buf in self.edge_buffers
+        ]
+
+        # same accounting as _joint_phase, one dict per epoch
+        modal_accs = np.asarray(modal_accs)
+        joint_accs = np.asarray(joint_accs)
+        train_steps_n = max(1, host.nnz // batch)
+        diff_steps_n = max(1, host.user_num // batch)
+        names = {"image": "image loss", "text": "text loss", "audio": "audio loss"}
+        results = []
+        for e in range(n):
+            result = {
+                "Loss": joint_accs[e, 0] / train_steps_n,
+                "BPR Loss": joint_accs[e, 1] / train_steps_n,
+                "reg loss": joint_accs[e, 2] / train_steps_n,
+                "CL loss": joint_accs[e, 3] / train_steps_n,
+            }
+            for m, mod in enumerate(host.modalities):
+                result[names[mod]] = modal_accs[e, m] / diff_steps_n
+            results.append(result)
+        return results
+
+    def _chunk_size(self, epoch: int, n_epochs: int) -> int:
+        """Largest fusable epoch count from ``epoch``: capped by
+        train.epoch_scan and shrunk so no eval (tstEpoch) or checkpoint
+        boundary falls strictly inside the chunk — those run at chunk end,
+        exactly where the single-epoch loop would run them."""
+        cfg = self.config
+        if cfg.train.epoch_scan <= 1 or cfg.hyper.use_knn_adj:
+            return 1
+        n = min(cfg.train.epoch_scan, n_epochs - epoch)
+        for j in range(n - 1):  # interior epochs epoch .. epoch+n-2
+            k = epoch + j
+            if k % cfg.train.tstEpoch == 0 or (
+                self.ckpt is not None
+                and (k + 1) % self.checkpoint_every == 0
+            ):
+                return j + 1
+        return n
+
     # ------------------------------------------------------------------ eval
     def test_epoch(self, split: str = "test") -> dict[str, float]:
         """Full-catalog ranking eval (reference `Main.py:390-420`).
@@ -853,26 +1043,42 @@ class Coach:
         self.log.info("Model Initialized ✅")
         self.log.info("Start training 🚀")
         try:
-            for epoch in range(start_epoch, n_epochs):
-                tst_flag = epoch % cfg.train.tstEpoch == 0
+            epoch = start_epoch
+            while epoch < n_epochs:
+                # train.epoch_scan > 1: fuse eval-boundary-free epoch runs
+                # into one compiled program (train_epochs_fused); chunk==1
+                # keeps the single-epoch path (and its per-phase timers).
+                chunk = self._chunk_size(epoch, n_epochs)
                 t0 = time.perf_counter()
-                result = self.train_epoch(epoch)
+                if chunk > 1:
+                    results = self.train_epochs_fused(epoch, chunk)
+                else:
+                    results = [self.train_epoch(epoch)]
                 jax.block_until_ready(self.gcn_params["u_embs"])
-                self.epoch_times.append(time.perf_counter() - t0)
+                chunk_s = time.perf_counter() - t0
+                self.epoch_times.extend([chunk_s / chunk] * chunk)
                 # Failure detection (absent in the reference, SURVEY.md §5.3):
-                # catch divergence at the epoch boundary; with checkpointing
-                # on, the last good epoch is already on disk for resume.
-                if not all(np.isfinite(v) for v in result.values()):
-                    self.log.info(f"💥 Non-finite losses at epoch {epoch}: {result}")
-                    raise FloatingPointError(
-                        f"training diverged at epoch {epoch}: {result}"
+                # catch divergence at the epoch boundary (chunk boundary when
+                # fused); with checkpointing on, the last good epoch is
+                # already on disk for resume.
+                for j, result in enumerate(results):
+                    if not all(np.isfinite(v) for v in result.values()):
+                        self.log.info(
+                            f"💥 Non-finite losses at epoch {epoch + j}: {result}"
+                        )
+                        raise FloatingPointError(
+                            f"training diverged at epoch {epoch + j}: {result}"
+                        )
+                    self.log.info(
+                        self.make_print("⏩ Train", epoch + j, result, n_epochs)
                     )
-                self.log.info(self.make_print("⏩ Train", epoch, result, n_epochs))
                 self.log.info(
                     f"⏱️ epoch {self.epoch_times[-1]:.2f}s "
                     f"({self.timer.summary()})"
                 )
                 self.timer.reset()
+                epoch = epoch + chunk - 1  # chunk's last epoch: eval/ckpt here
+                tst_flag = epoch % cfg.train.tstEpoch == 0
                 if tst_flag:
                     result = self.test_epoch(eval_split)
                     his_max = [max(a, b) for a, b in zip(
@@ -905,6 +1111,7 @@ class Coach:
                             "best_epoch": best_epoch,
                         },
                     )
+                epoch += 1
         except KeyboardInterrupt:
             self.log.info("🈲 Training interrupted by user!")
         finally:

@@ -362,3 +362,85 @@ def make_train_steps(
         rebuild_epoch=rebuild_epoch,
         joint_epoch=joint_epoch,
     )
+
+
+def make_epochs_fused(
+    steps: TrainSteps,
+    item_num: int,
+    build_modal_adj,
+    constrain_buf=None,
+    constrain_blocks=None,
+):
+    """One compiled program for E consecutive training epochs.
+
+    A ``lax.scan`` over epochs whose body is the full four-phase epoch
+    (negative sampling -> diffusion -> rebuild -> adjacency build -> joint).
+    The single-epoch path costs several dispatches per epoch (each a host->
+    device round-trip, ~28 ms over this environment's remote-TPU tunnel)
+    plus four tiny ``random.split`` dispatches; this amortizes all of it to
+    one dispatch per E epochs.
+
+    RNG parity with the single-epoch path is exact: the key advances inside
+    the scan with the same split order Coach._next_key produces per epoch
+    (negs, diffusion, rebuild, joint), and the host permutations arrive
+    pre-drawn in the same per-epoch order — so a fused run consumes the
+    key stream and the numpy stream identically (asserted by
+    tests/test_fused_epochs.py), keeping checkpoints interchangeable.
+
+    ``build_modal_adj(rows, cols)`` builds one modality adjacency in the
+    run's graph form (closure over store dtype / mesh constraints);
+    ``constrain_buf``/``constrain_blocks`` apply the mesh shardings the
+    single-epoch path establishes with device_put between phases (here as
+    in-program ``with_sharding_constraint``).
+    """
+    from diffmm_tpu.data.sampling import negative_sampling
+
+    cbuf = constrain_buf or (lambda x: x)
+    cblk = constrain_blocks or (lambda x: x)
+
+    @jax.jit
+    def epochs_fused(
+        key, dn_params, dn_opt_states, gcn_params, gcn_opt_state, bufs0,
+        raw_feats, train_dense, train_rows, train_cols, adj,
+        diff_users, weight_blocks, reb_users, joint_perms,
+        lrs, hp, sampling_step, u_of_pos, lane_of_pos, pad_mask,
+    ):
+        nb_d = diff_users.shape[1]
+        nb_r = reb_users.shape[0]
+        nb_j = joint_perms.shape[1]
+
+        def body(carry, xs):
+            key, dn, dno, g, go, _ = carry
+            du, jp, lr = xs
+            # split order == Coach._next_key call order in train_epoch
+            key, k_neg = jax.random.split(key)
+            negs = negative_sampling(k_neg, train_rows, train_dense, item_num)
+            key, k_diff = jax.random.split(key)
+            dn, dno, modal_acc = steps.diffusion_epoch(
+                dn, dno, g, raw_feats, train_dense, du, weight_blocks,
+                jax.random.split(k_diff, nb_d), lr, hp,
+            )
+            key, k_reb = jax.random.split(key)
+            bufs = steps.rebuild_epoch(
+                dn, train_dense, reb_users, jax.random.split(k_reb, nb_r),
+                sampling_step, u_of_pos, lane_of_pos, pad_mask, item_num,
+            )
+            bufs = tuple(cbuf(b) for b in bufs)
+            modal_adjs = tuple(build_modal_adj(train_rows, b) for b in bufs)
+            users = cblk(train_rows.take(jp))
+            pos = cblk(train_cols.take(jp))
+            neg = cblk(negs.take(jp))
+            key, k_joint = jax.random.split(key)
+            g, go, joint_acc = steps.joint_epoch(
+                g, go, adj, modal_adjs, raw_feats, users, pos, neg,
+                jax.random.split(k_joint, nb_j), lr, hp,
+            )
+            return (key, dn, dno, g, go, bufs), (modal_acc, joint_acc)
+
+        init = (key, dn_params, dn_opt_states, gcn_params, gcn_opt_state, bufs0)
+        (key, dn, dno, g, go, bufs), (modal_accs, joint_accs) = jax.lax.scan(
+            body, init, (diff_users, joint_perms, lrs)
+        )
+        return key, dn, dno, g, go, bufs, modal_accs, joint_accs
+
+    return epochs_fused
