@@ -35,17 +35,14 @@ def main() -> int:
 
     config = load_config(os.path.join(REPO, "conf", "test.toml"))
     # BENCH_SET="train.dense_store=int4,base.denoise_param_dtype=bf16":
-    # config overrides for A/B bench runs, same spelling as sweep --set
+    # config overrides for A/B bench runs, same spelling as sweep/CLI --set
     overrides = [o for o in os.environ.get("BENCH_SET", "").split(",") if o]
     if overrides:
-        sys.path.insert(0, REPO)
-        from tools.sweep import _cast, _resolve
+        from diffmm_tpu.config import apply_overrides
 
+        apply_overrides(config, overrides)
         for override in overrides:
-            qual, _, raw = override.partition("=")
-            obj, key = _resolve(config, qual)
-            setattr(obj, key, _cast(type(getattr(obj, key)), raw))
-            print(f"override: {qual} = {raw}", file=sys.stderr)
+            print(f"override: {override}", file=sys.stderr)
     host = load_host_data(config)
     log = Log("bench", config.data.name)
     coach = Coach(config, host, log=log)

@@ -58,6 +58,15 @@ def main(argv: list[str] | None = None) -> int:
         help="after training, save a serving index (embeddings + mask) here",
     )
     parser.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="SECTION.KEY=VALUE",
+        help="config override, e.g. --set train.epoch_scan=5 --set "
+        "hyper.noise_degree=1.0 (bare keys default to [hyper]; repeatable, "
+        "later wins — same spelling as tools/sweep.py)",
+    )
+    parser.add_argument(
         "--distributed",
         action="store_true",
         help="multi-host: call jax.distributed.initialize() before anything "
@@ -92,6 +101,13 @@ def main(argv: list[str] | None = None) -> int:
     except Exception as e:  # reference Main.py:463-468
         print(f"Error loading configuration file: {e}")
         return 1
+    if args.set:
+        from diffmm_tpu.config import apply_overrides
+
+        try:
+            apply_overrides(config, args.set)
+        except ValueError as e:
+            parser.error(str(e))
 
     log = Log("main", config.data.name)
     log.info("Start")

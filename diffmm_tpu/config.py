@@ -206,3 +206,42 @@ def config_from_dict(raw: dict[str, Any], strict: bool = False) -> Config:
 
 def config_to_dict(config: Config) -> dict[str, Any]:
     return dataclasses.asdict(config)
+
+
+def resolve_field(config: Config, qual: str) -> tuple[Any, str]:
+    """``'hyper.steps'`` / ``'train.lr'`` / bare ``'steps'`` (hyper section
+    by default; bare ``'seed'`` maps to base.seed) -> (section object,
+    field name). The one override spelling shared by ``tools/sweep.py
+    --set``, ``bench.py BENCH_SET`` and the CLI ``--set``."""
+    section, _, key = qual.rpartition(".")
+    if not section and key == "seed":
+        section = "base"
+    obj = getattr(config, section, None) if section else config.hyper
+    if obj is None or not hasattr(obj, key):
+        raise ValueError(f"unknown config field {qual!r}")
+    return obj, key
+
+
+def cast_field(caster: type, raw: Any) -> Any:
+    """Cast an override string to a config field's type; bool gets real
+    parsing (``bool('False')`` is True — the default caster would mangle
+    flags)."""
+    if caster is bool and isinstance(raw, str):
+        low = raw.strip().lower()
+        if low in ("true", "1", "yes", "on"):
+            return True
+        if low in ("false", "0", "no", "off"):
+            return False
+        raise ValueError(f"not a boolean: {raw!r}")
+    return caster(raw)
+
+
+def apply_overrides(config: Config, overrides: list[str]) -> Config:
+    """Apply ``'section.key=value'`` strings in order (later wins)."""
+    for item in overrides:
+        qual, sep, raw = item.partition("=")
+        if not sep:
+            raise ValueError(f"override must be key=value, got {item!r}")
+        obj, key = resolve_field(config, qual)
+        setattr(obj, key, cast_field(type(getattr(obj, key)), raw))
+    return config

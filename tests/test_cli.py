@@ -48,3 +48,45 @@ epoch = 2
 
 def test_cli_bad_config_exit_code(tmp_path):
     assert main(["-c", str(tmp_path / "missing.toml")]) == 1
+
+
+def test_cli_set_overrides(tmp_path):
+    """--set applies config overrides (incl. the fused epoch scan path)."""
+    conf = tmp_path / "synth.toml"
+    conf.write_text(
+        """
+[base]
+latdim = 8
+seed = 3
+denoise_dim = "[16]"
+
+[data]
+name = "synthetic:40x30"
+
+[hyper]
+steps = 5
+
+[train]
+batch = 16
+test_batch = 8
+epoch = 4
+"""
+    )
+    rc = main(
+        [
+            "-c", str(conf),
+            "--set", "train.epoch_scan=2",
+            "--set", "train.tstEpoch=2",
+            "--set", "noise_degree=0.4",  # bare key -> [hyper]
+        ]
+    )
+    assert rc == 0
+
+
+def test_cli_set_unknown_field(tmp_path):
+    conf = tmp_path / "synth.toml"
+    conf.write_text('[data]\nname = "synthetic:40x30"\n')
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["-c", str(conf), "--set", "train.no_such_field=1"])

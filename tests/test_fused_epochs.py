@@ -79,6 +79,19 @@ def test_fused_mesh_matches_single_device(tiny_config, tiny_data):
     _assert_tree_close(a.gcn_params, b.gcn_params)
 
 
+def test_fused_sparse_form(tiny_config, tiny_data):
+    """The fused scan is graph-form agnostic: segment-sum SpMM path too."""
+    cfg = copy.deepcopy(tiny_config)
+    cfg.train.graph_form = "sparse"
+    a = Coach(copy.deepcopy(cfg), tiny_data)
+    b = Coach(copy.deepcopy(cfg), tiny_data)
+    a.total_epochs = b.total_epochs = 2
+    for e in range(2):
+        a.train_epoch(e)
+    b.train_epochs_fused(0, 2)
+    _assert_tree_close(a.gcn_params, b.gcn_params)
+
+
 def test_chunk_size_respects_boundaries(tiny_config, tiny_data):
     cfg = copy.deepcopy(tiny_config)
     cfg.train.epoch_scan = 4

@@ -68,27 +68,25 @@ def _is_dynamic_safe(config, param: str) -> bool:
 def _resolve(config, qual: str):
     """'hyper.steps' / 'base.latdim' / bare 'steps' (hyper by default;
     bare 'seed' maps to base.seed) -> (section object, field name);
-    raises SystemExit on unknown sections/fields."""
-    section, _, key = qual.rpartition(".")
-    if not section and key == "seed":
-        section = "base"
-    obj = getattr(config, section, None) if section else config.hyper
-    if obj is None or not hasattr(obj, key):
-        raise SystemExit(f"unknown config field {qual!r}")
-    return obj, key
+    raises SystemExit on unknown sections/fields. Thin CLI wrapper over
+    config.resolve_field (one override spelling across sweep/bench/CLI)."""
+    from diffmm_tpu.config import resolve_field
+
+    try:
+        return resolve_field(config, qual)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
 
 def _cast(caster: type, raw):
     """Cast a CLI string to a config field's type; bool gets real parsing
     (bool('False') is True — the default caster would mangle flags)."""
-    if caster is bool and isinstance(raw, str):
-        low = raw.strip().lower()
-        if low in ("true", "1", "yes", "on"):
-            return True
-        if low in ("false", "0", "no", "off"):
-            return False
-        raise SystemExit(f"not a boolean: {raw!r}")
-    return caster(raw)
+    from diffmm_tpu.config import cast_field
+
+    try:
+        return cast_field(caster, raw)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
 
 def _cast_values(config, param: str, raw: str) -> list:
