@@ -111,6 +111,34 @@ def test_chunk_size_respects_boundaries(tiny_config, tiny_data):
     assert Coach(cfg2, tiny_data)._chunk_size(1, 10) == 1
 
 
+def test_fused_checkpoint_resume_interchangeable(tiny_config, tiny_data, tmp_path):
+    """A single-epoch-path checkpoint resumes into a FUSED run exactly:
+    the two paths consume identical RNG streams, so state is portable."""
+    cfg = copy.deepcopy(tiny_config)
+    cfg.train.tstEpoch = 2
+
+    full = Coach(copy.deepcopy(cfg), tiny_data)
+    full.run(epochs=4)  # epoch_scan=1: all single-epoch
+
+    ck = str(tmp_path / "ckpt")
+    first = Coach(copy.deepcopy(cfg), tiny_data, checkpoint_dir=ck)
+    first.total_epochs = 4
+    for epoch in range(2):
+        first.train_epoch(epoch)
+    first.save_checkpoint(1, {})
+    first.ckpt.close()
+
+    cfg.train.epoch_scan = 2  # resume runs epochs 2-3 as one fused chunk
+    second = Coach(cfg, tiny_data, checkpoint_dir=ck)
+    second.run(epochs=4)
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(full.key)),
+        np.asarray(jax.random.key_data(second.key)),
+    )
+    _assert_tree_close(full.gcn_params, second.gcn_params)
+
+
 def test_run_with_epoch_scan(tiny_config, tiny_data):
     """run() with fusion enabled matches the plain run's best metrics."""
     cfg = copy.deepcopy(tiny_config)
