@@ -83,6 +83,15 @@ def main() -> int:
     # E=10 sits near the asymptote: measured 0.397 (E=5) / 0.380 (E=10) /
     # 0.375 (E=20) s/epoch vs 0.43 single-epoch in the same runs.
     fused_scan = int(os.environ.get("BENCH_FUSED", "10"))
+    if fused_scan > 1 and times[0] > 300.0:
+        # tunnel remote-compile service is in a slow phase (first compile
+        # has ranged 34 s - 8 min for the same program); skip the second
+        # big compile so the artifact lands within any driver budget
+        print(
+            f"skipping fused-scan measurement: first compile took "
+            f"{times[0]:.0f}s (slow-compile day)", file=sys.stderr,
+        )
+        fused_scan = 0
     if fused_scan > 1:
         ep0 = epochs + 3
         coach.train_epochs_fused(ep0, fused_scan)  # compile chunk

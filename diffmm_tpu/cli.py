@@ -142,7 +142,7 @@ def main(argv: list[str] | None = None) -> int:
         f"NDCG: {best['NDCG']:.5f}, Precision: {best['Precision']:.5f}"
     )
     if args.export_index:
-        if coach.modal_adjs is None and coach.best_snapshot is None:
+        if coach.ensure_modal_adjs() is None and coach.best_snapshot is None:
             log.info(
                 "⚠️ no trained epoch completed — skipping --export-index "
                 "(the serving index needs the epoch's modality graphs)"

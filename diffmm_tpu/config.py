@@ -142,8 +142,11 @@ class TrainConfig:
     # epochs amortizes that to ~1/E. The RNG stream advances exactly as the
     # single-epoch path (same split order, same host permutation draws), so
     # the trajectory is the same program order-of-operations aside. run()
-    # only fuses epochs with no interior eval/checkpoint boundary, so set
-    # tstEpoch >= epoch_scan for it to engage; 1 disables.
+    # fuses only EXACT scan-length windows with no interior eval/checkpoint
+    # boundary (every distinct chunk length is a fresh XLA compile — a
+    # one-off tail chunk measured 37 s on the tunnel vs ~0.05 s/epoch
+    # saved); shrunk windows run single-epoch. Set tstEpoch >= epoch_scan
+    # for it to engage; 1 disables.
     epoch_scan: int = 1
 
 

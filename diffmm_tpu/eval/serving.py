@@ -115,8 +115,9 @@ def build_index(coach, use_best: bool = True) -> RecIndex:
     if use_best:
         params, modal_adjs = coach.best_state()
     else:
-        assert coach.modal_adjs is not None, "train (or restore) before serving"
-        params, modal_adjs = coach.gcn_params, coach.modal_adjs
+        modal_adjs = coach.ensure_modal_adjs()
+        assert modal_adjs is not None, "train (or restore) before serving"
+        params = coach.gcn_params
     u_final, i_final = coach.steps.gcn_forward(
         params, coach.data.adj, tuple(modal_adjs),
         coach.data.raw_feats, coach._hp(),

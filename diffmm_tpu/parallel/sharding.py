@@ -48,12 +48,19 @@ def catalog_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, MODEL_AXIS))
 
 
-def catalog_sharded_or_replicated(x: jax.Array, mesh: Mesh) -> NamedSharding:
-    """Catalog-shard the last dim when it divides the model axis, else
-    replicate (JAX rejects uneven ``device_put`` shardings)."""
-    if x.shape[-1] % mesh.shape[MODEL_AXIS] == 0:
+def catalog_spec(last_dim: int, mesh: Mesh) -> NamedSharding:
+    """The one placement policy for ``(..., catalog)`` matrices: shard the
+    catalog dim over the model axis when it divides, else replicate (JAX
+    rejects uneven ``device_put`` shardings). Shape-only so in-program
+    constraint sites (the fused epoch scan's adjacency builds) share it."""
+    if last_dim % mesh.shape[MODEL_AXIS] == 0:
         return catalog_sharded(mesh)
     return replicated(mesh)
+
+
+def catalog_sharded_or_replicated(x: jax.Array, mesh: Mesh) -> NamedSharding:
+    """:func:`catalog_spec` of an array's last dim."""
+    return catalog_spec(x.shape[-1], mesh)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

@@ -600,9 +600,17 @@ class Coach:
             )
             joint_acc = np.asarray(acc)
 
-        # Metric accounting mirrors reference Main.py:379-388 (floor division)
-        train_steps_n = max(1, self.host.nnz // batch)
-        diff_steps_n = max(1, self.host.user_num // batch)
+        # by now the joint accumulator has been fetched, so the (earlier)
+        # diffusion accumulator is ready — this asarray does not stall
+        return self._epoch_result(joint_acc, np.asarray(modal_loss_acc))
+
+    def _epoch_result(self, joint_acc, modal_acc) -> dict[str, float]:
+        """One epoch's loss dict from the phase accumulators — accounting
+        mirrors reference Main.py:379-388 (floor-division step counts).
+        Shared by the single-epoch and fused paths so the quirk can never
+        desynchronize between them."""
+        train_steps_n = max(1, self.host.nnz // self.config.train.batch)
+        diff_steps_n = max(1, self.host.user_num // self.config.train.batch)
         result = {
             "Loss": joint_acc[0] / train_steps_n,
             "BPR Loss": joint_acc[1] / train_steps_n,
@@ -610,12 +618,20 @@ class Coach:
             "CL loss": joint_acc[3] / train_steps_n,
         }
         names = {"image": "image loss", "text": "text loss", "audio": "audio loss"}
-        # by now the joint accumulator has been fetched, so the (earlier)
-        # diffusion accumulator is ready — this asarray does not stall
-        modal_loss_acc = np.asarray(modal_loss_acc)
         for m, mod in enumerate(self.host.modalities):
-            result[names[mod]] = modal_loss_acc[m] / diff_steps_n
+            result[names[mod]] = modal_acc[m] / diff_steps_n
         return result
+
+    def ensure_modal_adjs(self) -> list | None:
+        """Modality adjacencies for eval/serving, rebuilt lazily from the
+        edge buffers when the fused epoch path invalidated them; None only
+        when no trained epoch (or restored checkpoint) exists."""
+        if self.modal_adjs is None and self.edge_buffers is not None:
+            self.modal_adjs = [
+                self._make_adj(self.data.train_rows, buf)
+                for buf in self.edge_buffers
+            ]
+        return self.modal_adjs
 
     # ----------------------------------------------------------- fused epochs
     def _fused_adj_builder(self):
@@ -638,16 +654,10 @@ class Coach:
         store = self.dense_store_dtype
         mat_sh = rep_sh = None
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from diffmm_tpu.parallel.sharding import catalog_spec, replicated
 
-            from diffmm_tpu.parallel.mesh import MODEL_AXIS
-
-            rep_sh = NamedSharding(self.mesh, P())
-            mat_sh = (
-                NamedSharding(self.mesh, P(None, MODEL_AXIS))
-                if item_num % self.mesh.shape[MODEL_AXIS] == 0
-                else rep_sh
-            )
+            rep_sh = replicated(self.mesh)
+            mat_sh = catalog_spec(item_num, self.mesh)
 
         def build(rows, cols):
             adj = build_dense_bi_adj_device(
@@ -761,45 +771,39 @@ class Coach:
                 *self.csr_gather_layout,
             )
         self.edge_buffers = list(bufs)
-        self.modal_adjs = [
-            self._make_adj(data.train_rows, buf) for buf in self.edge_buffers
-        ]
+        # adjacencies rebuild lazily (ensure_modal_adjs): the scan consumed
+        # its in-program ones, and 3 dense (U, I) builds per chunk would be
+        # pure waste when the next step is another chunk, not an eval
+        self.modal_adjs = None
 
-        # same accounting as _joint_phase, one dict per epoch
         modal_accs = np.asarray(modal_accs)
         joint_accs = np.asarray(joint_accs)
-        train_steps_n = max(1, host.nnz // batch)
-        diff_steps_n = max(1, host.user_num // batch)
-        names = {"image": "image loss", "text": "text loss", "audio": "audio loss"}
-        results = []
-        for e in range(n):
-            result = {
-                "Loss": joint_accs[e, 0] / train_steps_n,
-                "BPR Loss": joint_accs[e, 1] / train_steps_n,
-                "reg loss": joint_accs[e, 2] / train_steps_n,
-                "CL loss": joint_accs[e, 3] / train_steps_n,
-            }
-            for m, mod in enumerate(host.modalities):
-                result[names[mod]] = modal_accs[e, m] / diff_steps_n
-            results.append(result)
-        return results
+        return [
+            self._epoch_result(joint_accs[e], modal_accs[e]) for e in range(n)
+        ]
 
     def _chunk_size(self, epoch: int, n_epochs: int) -> int:
-        """Largest fusable epoch count from ``epoch``: capped by
-        train.epoch_scan and shrunk so no eval (tstEpoch) or checkpoint
-        boundary falls strictly inside the chunk — those run at chunk end,
-        exactly where the single-epoch loop would run them."""
+        """train.epoch_scan when a full scan-length window fits from
+        ``epoch`` with no interior eval (tstEpoch) or checkpoint boundary,
+        else 1. Only EXACT epoch_scan-sized chunks fuse: every distinct
+        chunk length is a distinct scan length and therefore a fresh XLA
+        compile (measured 37 s on the tunnel for a one-off 9-epoch tail —
+        far more than the ~0.05 s/epoch the fusion saves), so shrunk tail
+        or eval-misaligned windows run the already-compiled single-epoch
+        path instead."""
         cfg = self.config
         if cfg.train.epoch_scan <= 1 or cfg.hyper.use_knn_adj:
             return 1
-        n = min(cfg.train.epoch_scan, n_epochs - epoch)
+        n = cfg.train.epoch_scan
+        if n > n_epochs - epoch:
+            return 1
         for j in range(n - 1):  # interior epochs epoch .. epoch+n-2
             k = epoch + j
             if k % cfg.train.tstEpoch == 0 or (
                 self.ckpt is not None
                 and (k + 1) % self.checkpoint_every == 0
             ):
-                return j + 1
+                return 1
         return n
 
     # ------------------------------------------------------------------ eval
@@ -810,7 +814,7 @@ class Coach:
         additive over the reference, which never loads valMat.pkl
         (`DataHandler.py:30-31`) and selects models on test Recall.
         """
-        assert self.modal_adjs is not None, (
+        assert self.ensure_modal_adjs() is not None, (
             "eval depends on the epoch's rebuilt modality graphs "
             "(reference Main.py:398-400); run train_epoch first"
         )
@@ -886,7 +890,7 @@ class Coach:
         current state when no snapshot exists (e.g. eval never ran)."""
         snap = self.best_snapshot
         if snap is None:
-            assert self.modal_adjs is not None, (
+            assert self.ensure_modal_adjs() is not None, (
                 "no trained epoch and no best snapshot to serve from"
             )
             return self.gcn_params, self.modal_adjs
@@ -1041,6 +1045,17 @@ class Coach:
             his_max = resumed.get("his_max", his_max)
             best_epoch = resumed.get("best_epoch", 0)
         self.log.info("Model Initialized ✅")
+        if (
+            cfg.train.epoch_scan > 1
+            and cfg.train.tstEpoch < cfg.train.epoch_scan
+            and not cfg.hyper.use_knn_adj
+        ):
+            self.log.info(
+                f"⚠️ epoch_scan={cfg.train.epoch_scan} with "
+                f"tstEpoch={cfg.train.tstEpoch}: eval boundaries leave no "
+                f"full scan-length window, so epochs run unfused — align "
+                f"tstEpoch >= epoch_scan to engage the fused path"
+            )
         self.log.info("Start training 🚀")
         try:
             epoch = start_epoch

@@ -20,6 +20,7 @@ from diffmm_tpu.train.coach import Coach
 def _assert_tree_close(ta, tb, rtol=2e-3, atol=1e-5):
     flat_a = jax.tree_util.tree_leaves_with_path(ta)
     flat_b = jax.tree.leaves(tb)
+    assert len(flat_a) == len(flat_b), (len(flat_a), len(flat_b))
     for (path, x), y in zip(flat_a, flat_b):
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=rtol, atol=atol,
@@ -94,17 +95,23 @@ def test_fused_sparse_form(tiny_config, tiny_data):
 
 def test_chunk_size_respects_boundaries(tiny_config, tiny_data):
     cfg = copy.deepcopy(tiny_config)
-    cfg.train.epoch_scan = 4
+    cfg.train.epoch_scan = 2
     cfg.train.tstEpoch = 2
     coach = Coach(cfg, tiny_data)
-    # epoch 0 evaluates (0 % 2 == 0) -> no interior room
+    # epoch 0 evaluates (0 % 2 == 0) -> no interior room -> single
     assert coach._chunk_size(0, 10) == 1
-    # from epoch 1: interior epoch 2 evaluates -> chunk ends there
+    # [1, 2]: interior epoch 1 is boundary-free, eval lands at chunk end
     assert coach._chunk_size(1, 10) == 2
-    # from epoch 3: interior epoch 4 evaluates -> chunk = [3, 4]
     assert coach._chunk_size(3, 10) == 2
-    # tail clamp
+    # tail shorter than epoch_scan runs single-epoch (a 9-epoch tail chunk
+    # measured a fresh 37 s scan-length compile on the tunnel)
     assert coach._chunk_size(9, 10) == 1
+    # a shrunk (eval-misaligned) window never fuses either: epoch_scan=4
+    # with tstEpoch=2 would make every chunk a distinct scan length
+    cfg3 = copy.deepcopy(tiny_config)
+    cfg3.train.epoch_scan = 4
+    cfg3.train.tstEpoch = 2
+    assert Coach(cfg3, tiny_data)._chunk_size(1, 10) == 1
     # epoch_scan=1 disables
     cfg2 = copy.deepcopy(tiny_config)
     cfg2.train.epoch_scan = 1
@@ -118,19 +125,27 @@ def test_fused_checkpoint_resume_interchangeable(tiny_config, tiny_data, tmp_pat
     cfg.train.tstEpoch = 2
 
     full = Coach(copy.deepcopy(cfg), tiny_data)
-    full.run(epochs=4)  # epoch_scan=1: all single-epoch
+    full.run(epochs=6)  # epoch_scan=1: all single-epoch
 
     ck = str(tmp_path / "ckpt")
     first = Coach(copy.deepcopy(cfg), tiny_data, checkpoint_dir=ck)
-    first.total_epochs = 4
+    first.total_epochs = 6
     for epoch in range(2):
         first.train_epoch(epoch)
     first.save_checkpoint(1, {})
     first.ckpt.close()
 
-    cfg.train.epoch_scan = 2  # resume runs epochs 2-3 as one fused chunk
+    cfg.train.epoch_scan = 2
     second = Coach(cfg, tiny_data, checkpoint_dir=ck)
-    second.run(epochs=4)
+    # resume runs epoch 2 single (eval boundary), [3, 4] as one fused
+    # chunk, epoch 5 single (tail) — spy that the fused path really ran
+    fused_calls = []
+    orig = second.train_epochs_fused
+    second.train_epochs_fused = lambda e, n: (
+        fused_calls.append((e, n)) or orig(e, n)
+    )
+    second.run(epochs=6)
+    assert fused_calls == [(3, 2)], fused_calls
 
     np.testing.assert_array_equal(
         np.asarray(jax.random.key_data(full.key)),
