@@ -141,12 +141,14 @@ class TrainConfig:
     # tunnel) and the single-epoch path needs several per epoch; fusing E
     # epochs amortizes that to ~1/E. The RNG stream advances exactly as the
     # single-epoch path (same split order, same host permutation draws), so
-    # the trajectory is the same program order-of-operations aside. run()
-    # fuses only EXACT scan-length windows with no interior eval/checkpoint
-    # boundary (every distinct chunk length is a fresh XLA compile — a
-    # one-off tail chunk measured 37 s on the tunnel vs ~0.05 s/epoch
-    # saved); shrunk windows run single-epoch. Set tstEpoch >= epoch_scan
-    # for it to engage; 1 disables.
+    # the trajectory is the same program order-of-operations aside. Eval
+    # epochs fuse too: the ranking eval runs in-program under lax.cond on
+    # each tstEpoch boundary with best-model tracking in the scan carry
+    # (reference Main.py:71-78 selection semantics), so any cadence works —
+    # tstEpoch=1 included. run() fuses only EXACT scan-length windows with
+    # no interior checkpoint boundary (every distinct chunk length is a
+    # fresh XLA compile — a one-off tail chunk measured 37 s on the tunnel
+    # vs ~0.05 s/epoch saved); shrunk windows run single-epoch. 1 disables.
     epoch_scan: int = 1
 
 

@@ -213,7 +213,10 @@ class Coach:
             raise ValueError(
                 f"train.epoch_scan must be >= 1, got {config.train.epoch_scan}"
             )
-        self._fused_prog = None  # built lazily by train_epochs_fused
+        # fused multi-epoch programs, built lazily by train_epochs_fused:
+        # one plain variant and one with in-program eval + best tracking
+        self._fused_progs: dict = {}
+        self._fused_eval_cache: dict = {}
         self.cum_dcg = dcg_table(config.base.topk)
         # Eval program bound to (topk, mesh): under model_parallel > 1 the
         # scoring runs per catalog shard with an explicit distributed top-k.
@@ -674,7 +677,9 @@ class Coach:
 
         return build
 
-    def train_epochs_fused(self, epoch0: int, n: int) -> list[dict[str, float]]:
+    def train_epochs_fused(
+        self, epoch0: int, n: int, eval_split: str | None = None
+    ):
         """Train epochs ``[epoch0, epoch0 + n)`` as ONE compiled program.
 
         A ``lax.scan`` over full four-phase epochs (steps.make_epochs_fused)
@@ -684,6 +689,15 @@ class Coach:
         stay interchangeable between the two paths
         (tests/test_fused_epochs.py). Returns one result dict per epoch with
         the same loss accounting as :meth:`train_epoch`.
+
+        With ``eval_split`` set, the chunk also runs the full-catalog
+        ranking eval IN-PROGRAM on each tstEpoch boundary (``lax.cond`` —
+        non-eval epochs skip the compute) and tracks the best-Recall
+        epoch's model in the scan carry, so fusion works at the reference's
+        every-epoch eval cadence. Returns ``(results, eval_results,
+        best_bundle)``: per-epoch eval dicts (None on non-eval epochs) and
+        ``(best_recall_sum, best_gcn_params, best_edge_buffers)`` device
+        arrays (None when no epoch evaluated).
         """
         cfg = self.config
         if cfg.hyper.use_knn_adj:
@@ -739,7 +753,17 @@ class Coach:
                 for _ in range(self.n_modal)
             )
 
-        if self._fused_prog is None:
+        # in-program eval: flags per epoch + the split's prepared blocks
+        eval_blocks = None
+        flags = None
+        if eval_split is not None:
+            flags = [(epoch0 + e) % cfg.train.tstEpoch == 0 for e in range(n)]
+            if any(flags):
+                eval_blocks = self._fused_eval_blocks(eval_split)
+        with_eval = eval_blocks is not None
+
+        prog = self._fused_progs.get(with_eval)
+        if prog is None:
             from diffmm_tpu.train.steps import make_epochs_fused
 
             cbuf = cblk = None
@@ -752,24 +776,41 @@ class Coach:
                 blk_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
                 cbuf = lambda b: jax.lax.with_sharding_constraint(b, edge_sh)
                 cblk = lambda b: jax.lax.with_sharding_constraint(b, blk_sh)
-            self._fused_prog = make_epochs_fused(
+            prog = make_epochs_fused(
                 self.steps, host.item_num, self._fused_adj_builder(),
                 constrain_buf=cbuf, constrain_blocks=cblk,
+                eval_fn=self._make_fused_eval_fn() if with_eval else None,
             )
+            self._fused_progs[with_eval] = prog
 
         data = self.data
+        eval_sums = best_recall = best_g = best_bufs = None
         with self.timer.phase("fused"):
-            (
-                self.key, self.dn_params, self.dn_opt_states, self.gcn_params,
-                self.gcn_opt_state, bufs, modal_accs, joint_accs,
-            ) = self._fused_prog(
+            common = (
                 self.key, self.dn_params, self.dn_opt_states, self.gcn_params,
                 self.gcn_opt_state, bufs0, data.raw_feats, data.train_dense,
                 data.train_rows, data.train_cols, data.adj,
                 put3(diff_users), weight_blocks, reb_users, put3(joint_perms),
-                jnp.asarray(lrs), self._hp(), jnp.int32(cfg.hyper.sampling_step),
+                jnp.asarray(lrs),
+            )
+            tail = (
+                self._hp(), jnp.int32(cfg.hyper.sampling_step),
                 *self.csr_gather_layout,
             )
+            if with_eval:
+                n_eval, eval_inputs = eval_blocks
+                (
+                    self.key, self.dn_params, self.dn_opt_states,
+                    self.gcn_params, self.gcn_opt_state, bufs,
+                    modal_accs, joint_accs, eval_sums,
+                    best_recall, best_g, best_bufs,
+                ) = prog(*common, jnp.asarray(flags), eval_inputs, *tail)
+            else:
+                (
+                    self.key, self.dn_params, self.dn_opt_states,
+                    self.gcn_params, self.gcn_opt_state, bufs,
+                    modal_accs, joint_accs,
+                ) = prog(*common, *tail)
         self.edge_buffers = list(bufs)
         # adjacencies rebuild lazily (ensure_modal_adjs): the scan consumed
         # its in-program ones, and 3 dense (U, I) builds per chunk would be
@@ -778,19 +819,102 @@ class Coach:
 
         modal_accs = np.asarray(modal_accs)
         joint_accs = np.asarray(joint_accs)
-        return [
+        results = [
             self._epoch_result(joint_accs[e], modal_accs[e]) for e in range(n)
         ]
+        if eval_split is None:
+            return results
+        if not with_eval:
+            # empty split (builder valMat edge case): mirror test_epoch's
+            # zero metrics on the flagged epochs
+            zero = {"Recall": 0.0, "NDCG": 0.0, "Precision": 0.0}
+            return results, [zero if f else None for f in flags], None
+        eval_sums = np.asarray(eval_sums)
+        eval_results = [
+            {
+                "Recall": float(eval_sums[e, 0]) / n_eval,
+                "NDCG": float(eval_sums[e, 1]) / n_eval,
+                "Precision": float(eval_sums[e, 2]) / n_eval,
+            }
+            if flags[e]
+            else None
+            for e in range(n)
+        ]
+        return results, eval_results, (best_recall, best_g, best_bufs)
+
+    def _fused_eval_blocks(self, split: str):
+        """test_epoch's block prep, done once per split and cached:
+        ``(n_test, (users, valid, items, counts, cum_dcg))`` with every
+        block array mesh-placed; None for an empty split."""
+        if split in self._fused_eval_cache:
+            return self._fused_eval_cache[split]
+        data = self.data
+        if split == "test":
+            e_users, e_items, e_counts = (
+                data.test_users, data.test_items, data.test_counts,
+            )
+        elif split == "val":
+            if data.val_users is None:
+                raise ValueError(f"{self.host.name}: no valMat was loaded")
+            e_users, e_items, e_counts = (
+                data.val_users, data.val_items, data.val_counts,
+            )
+        else:
+            raise ValueError(f"unknown eval split {split!r}")
+        n_test = int(e_users.shape[0])
+        if n_test == 0:
+            self._fused_eval_cache[split] = None
+            return None
+        batch = self.config.train.test_batch
+        idx, valid = _pad_blocks(n_test, batch)
+        idx_w = jnp.asarray(idx % max(n_test, 1))
+        nb = len(idx) // batch
+        blocks = (
+            self._put_blocks(e_users.take(idx_w).reshape(nb, batch)),
+            self._put_blocks(jnp.asarray(valid).reshape(nb, batch)),
+            self._put_blocks(e_items.take(idx_w, axis=0).reshape(nb, batch, -1)),
+            self._put_blocks(e_counts.take(idx_w).reshape(nb, batch)),
+            self.cum_dcg,
+        )
+        self._fused_eval_cache[split] = (n_test, blocks)
+        return self._fused_eval_cache[split]
+
+    def _make_fused_eval_fn(self):
+        """In-program eval for the fused scan: GCN forward + the (mesh-
+        aware) ranking program, summing Recall/NDCG/Precision over all
+        test users — the same computation test_epoch dispatches."""
+        gcn_forward = self.steps.gcn_forward
+        eval_prog = self.eval_prog
+
+        def eval_fn(g, modal_adjs, adj, raw_feats, train_dense, hp,
+                    eval_inputs):
+            users, valid, t_items, t_counts, cum_dcg = eval_inputs
+            u_final, i_final = gcn_forward(g, adj, tuple(modal_adjs),
+                                           raw_feats, hp)
+            return eval_prog(u_final, i_final, users, valid, train_dense,
+                             t_items, t_counts, cum_dcg)
+
+        return eval_fn
+
+    def _capture_best_from(self, best_g, best_bufs, epoch: int) -> None:
+        """capture_best from the fused chunk's in-carry best state."""
+        self.best_snapshot = {
+            "epoch": epoch,
+            "gcn_params": jax.device_get(best_g),
+            "edge_buffers": [jax.device_get(b) for b in best_bufs],
+        }
 
     def _chunk_size(self, epoch: int, n_epochs: int) -> int:
         """train.epoch_scan when a full scan-length window fits from
-        ``epoch`` with no interior eval (tstEpoch) or checkpoint boundary,
-        else 1. Only EXACT epoch_scan-sized chunks fuse: every distinct
-        chunk length is a distinct scan length and therefore a fresh XLA
-        compile (measured 37 s on the tunnel for a one-off 9-epoch tail —
-        far more than the ~0.05 s/epoch the fusion saves), so shrunk tail
-        or eval-misaligned windows run the already-compiled single-epoch
-        path instead."""
+        ``epoch`` with no interior CHECKPOINT boundary, else 1. Eval
+        boundaries don't break chunks — evals run in-program under
+        ``lax.cond`` with best-state tracking in the carry. Only EXACT
+        epoch_scan-sized chunks fuse: every distinct chunk length is a
+        distinct scan length and therefore a fresh XLA compile (measured
+        37 s on the tunnel for a one-off 9-epoch tail — far more than the
+        ~0.05 s/epoch the fusion saves), so shrunk tail or
+        checkpoint-misaligned windows run the already-compiled
+        single-epoch path instead."""
         cfg = self.config
         if cfg.train.epoch_scan <= 1 or cfg.hyper.use_knn_adj:
             return 1
@@ -799,10 +923,7 @@ class Coach:
             return 1
         for j in range(n - 1):  # interior epochs epoch .. epoch+n-2
             k = epoch + j
-            if k % cfg.train.tstEpoch == 0 or (
-                self.ckpt is not None
-                and (k + 1) % self.checkpoint_every == 0
-            ):
+            if self.ckpt is not None and (k + 1) % self.checkpoint_every == 0:
                 return 1
         return n
 
@@ -1045,28 +1166,20 @@ class Coach:
             his_max = resumed.get("his_max", his_max)
             best_epoch = resumed.get("best_epoch", 0)
         self.log.info("Model Initialized ✅")
-        if (
-            cfg.train.epoch_scan > 1
-            and cfg.train.tstEpoch < cfg.train.epoch_scan
-            and not cfg.hyper.use_knn_adj
-        ):
-            self.log.info(
-                f"⚠️ epoch_scan={cfg.train.epoch_scan} with "
-                f"tstEpoch={cfg.train.tstEpoch}: eval boundaries leave no "
-                f"full scan-length window, so epochs run unfused — align "
-                f"tstEpoch >= epoch_scan to engage the fused path"
-            )
         self.log.info("Start training 🚀")
         try:
             epoch = start_epoch
             while epoch < n_epochs:
-                # train.epoch_scan > 1: fuse eval-boundary-free epoch runs
-                # into one compiled program (train_epochs_fused); chunk==1
-                # keeps the single-epoch path (and its per-phase timers).
+                # train.epoch_scan > 1: fuse epoch runs (evals included,
+                # in-program) into one compiled program; chunk==1 keeps the
+                # single-epoch path (and its per-phase timers).
                 chunk = self._chunk_size(epoch, n_epochs)
                 t0 = time.perf_counter()
+                eval_results = best_bundle = None
                 if chunk > 1:
-                    results = self.train_epochs_fused(epoch, chunk)
+                    results, eval_results, best_bundle = (
+                        self.train_epochs_fused(epoch, chunk, eval_split)
+                    )
                 else:
                     results = [self.train_epoch(epoch)]
                 jax.block_until_ready(self.gcn_params["u_embs"])
@@ -1092,8 +1205,32 @@ class Coach:
                     f"({self.timer.summary()})"
                 )
                 self.timer.reset()
-                epoch = epoch + chunk - 1  # chunk's last epoch: eval/ckpt here
-                tst_flag = epoch % cfg.train.tstEpoch == 0
+                if chunk > 1:
+                    # evals already ran in-program; fold them into the best
+                    # tracking exactly as the single-epoch branch below does
+                    improved = False
+                    for j, result in enumerate(eval_results or []):
+                        if result is None:
+                            continue
+                        his_max = [max(a, b) for a, b in zip(
+                            [result["Recall"], result["NDCG"],
+                             result["Precision"]], his_max
+                        )]
+                        if result["Recall"] > recall_max:
+                            recall_max = result["Recall"]
+                            ndcg_max = result["NDCG"]
+                            precision_max = result["Precision"]
+                            best_epoch = epoch + j
+                            improved = True
+                        self.log.info(
+                            self.make_print("🧪 Test", epoch + j, result, n_epochs)
+                        )
+                    if improved and best_bundle is not None:
+                        self._capture_best_from(
+                            best_bundle[1], best_bundle[2], best_epoch
+                        )
+                epoch = epoch + chunk - 1  # chunk's last epoch: ckpt here
+                tst_flag = chunk == 1 and epoch % cfg.train.tstEpoch == 0
                 if tst_flag:
                     result = self.test_epoch(eval_split)
                     his_max = [max(a, b) for a, b in zip(

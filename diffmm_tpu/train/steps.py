@@ -370,6 +370,7 @@ def make_epochs_fused(
     build_modal_adj,
     constrain_buf=None,
     constrain_blocks=None,
+    eval_fn=None,
 ):
     """One compiled program for E consecutive training epochs.
 
@@ -392,11 +393,52 @@ def make_epochs_fused(
     ``constrain_buf``/``constrain_blocks`` apply the mesh shardings the
     single-epoch path establishes with device_put between phases (here as
     in-program ``with_sharding_constraint``).
-    """
+
+    ``eval_fn(g, modal_adjs, adj, raw_feats, train_dense, hp, eval_inputs)``
+    (optional) runs the full-catalog ranking eval in-program and returns
+    the (3,) Recall/NDCG/Precision SUM vector. With it, the returned
+    program takes per-epoch eval flags plus the eval block bundle,
+    evaluates under ``lax.cond`` (non-eval epochs skip the compute), and
+    tracks the best-Recall epoch's (gcn_params, edge buffers) in the carry
+    — so a chunk can span eval boundaries (the reference's tstEpoch=1
+    cadence included) and still reproduce the reference's best-model
+    selection (`Main.py:71-78`)."""
     from diffmm_tpu.data.sampling import negative_sampling
 
     cbuf = constrain_buf or (lambda x: x)
     cblk = constrain_blocks or (lambda x: x)
+
+    def _epoch_body(key, dn, dno, g, go, xs, invariants):
+        (du, jp, lr) = xs
+        (raw_feats, train_dense, train_rows, train_cols, adj, weight_blocks,
+         reb_users, hp, sampling_step, u_of_pos, lane_of_pos, pad_mask) = invariants
+        nb_d = du.shape[0]
+        nb_r = reb_users.shape[0]
+        nb_j = jp.shape[0]
+        # split order == Coach._next_key call order in train_epoch
+        key, k_neg = jax.random.split(key)
+        negs = negative_sampling(k_neg, train_rows, train_dense, item_num)
+        key, k_diff = jax.random.split(key)
+        dn, dno, modal_acc = steps.diffusion_epoch(
+            dn, dno, g, raw_feats, train_dense, du, weight_blocks,
+            jax.random.split(k_diff, nb_d), lr, hp,
+        )
+        key, k_reb = jax.random.split(key)
+        bufs = steps.rebuild_epoch(
+            dn, train_dense, reb_users, jax.random.split(k_reb, nb_r),
+            sampling_step, u_of_pos, lane_of_pos, pad_mask, item_num,
+        )
+        bufs = tuple(cbuf(b) for b in bufs)
+        modal_adjs = tuple(build_modal_adj(train_rows, b) for b in bufs)
+        users = cblk(train_rows.take(jp))
+        pos = cblk(train_cols.take(jp))
+        neg = cblk(negs.take(jp))
+        key, k_joint = jax.random.split(key)
+        g, go, joint_acc = steps.joint_epoch(
+            g, go, adj, modal_adjs, raw_feats, users, pos, neg,
+            jax.random.split(k_joint, nb_j), lr, hp,
+        )
+        return key, dn, dno, g, go, bufs, modal_adjs, modal_acc, joint_acc
 
     @jax.jit
     def epochs_fused(
@@ -405,35 +447,14 @@ def make_epochs_fused(
         diff_users, weight_blocks, reb_users, joint_perms,
         lrs, hp, sampling_step, u_of_pos, lane_of_pos, pad_mask,
     ):
-        nb_d = diff_users.shape[1]
-        nb_r = reb_users.shape[0]
-        nb_j = joint_perms.shape[1]
+        invariants = (raw_feats, train_dense, train_rows, train_cols, adj,
+                      weight_blocks, reb_users, hp, sampling_step,
+                      u_of_pos, lane_of_pos, pad_mask)
 
         def body(carry, xs):
             key, dn, dno, g, go, _ = carry
-            du, jp, lr = xs
-            # split order == Coach._next_key call order in train_epoch
-            key, k_neg = jax.random.split(key)
-            negs = negative_sampling(k_neg, train_rows, train_dense, item_num)
-            key, k_diff = jax.random.split(key)
-            dn, dno, modal_acc = steps.diffusion_epoch(
-                dn, dno, g, raw_feats, train_dense, du, weight_blocks,
-                jax.random.split(k_diff, nb_d), lr, hp,
-            )
-            key, k_reb = jax.random.split(key)
-            bufs = steps.rebuild_epoch(
-                dn, train_dense, reb_users, jax.random.split(k_reb, nb_r),
-                sampling_step, u_of_pos, lane_of_pos, pad_mask, item_num,
-            )
-            bufs = tuple(cbuf(b) for b in bufs)
-            modal_adjs = tuple(build_modal_adj(train_rows, b) for b in bufs)
-            users = cblk(train_rows.take(jp))
-            pos = cblk(train_cols.take(jp))
-            neg = cblk(negs.take(jp))
-            key, k_joint = jax.random.split(key)
-            g, go, joint_acc = steps.joint_epoch(
-                g, go, adj, modal_adjs, raw_feats, users, pos, neg,
-                jax.random.split(k_joint, nb_j), lr, hp,
+            key, dn, dno, g, go, bufs, _, modal_acc, joint_acc = _epoch_body(
+                key, dn, dno, g, go, xs, invariants
             )
             return (key, dn, dno, g, go, bufs), (modal_acc, joint_acc)
 
@@ -443,4 +464,60 @@ def make_epochs_fused(
         )
         return key, dn, dno, g, go, bufs, modal_accs, joint_accs
 
-    return epochs_fused
+    if eval_fn is None:
+        return epochs_fused
+
+    @jax.jit
+    def epochs_fused_eval(
+        key, dn_params, dn_opt_states, gcn_params, gcn_opt_state, bufs0,
+        raw_feats, train_dense, train_rows, train_cols, adj,
+        diff_users, weight_blocks, reb_users, joint_perms,
+        lrs, eval_flags, eval_inputs, hp, sampling_step,
+        u_of_pos, lane_of_pos, pad_mask,
+    ):
+        invariants = (raw_feats, train_dense, train_rows, train_cols, adj,
+                      weight_blocks, reb_users, hp, sampling_step,
+                      u_of_pos, lane_of_pos, pad_mask)
+
+        def body(carry, xs):
+            key, dn, dno, g, go, _, best_recall, best_g, best_bufs = carry
+            (du, jp, lr, do_eval) = xs
+            key, dn, dno, g, go, bufs, modal_adjs, modal_acc, joint_acc = (
+                _epoch_body(key, dn, dno, g, go, (du, jp, lr), invariants)
+            )
+            # replicated predicate: every device takes the same branch, so
+            # the eval branch's collectives stay aligned under SPMD
+            sums = jax.lax.cond(
+                do_eval,
+                lambda: eval_fn(g, modal_adjs, adj, raw_feats, train_dense,
+                                hp, eval_inputs),
+                lambda: jnp.full((3,), jnp.nan, jnp.float32),
+            )
+            # best-Recall tracking in-carry (reference model selection,
+            # Main.py:71-78): strictly-greater keeps the FIRST best epoch,
+            # matching the host-side comparison in Coach.run
+            is_best = do_eval & (sums[0] > best_recall)
+            best_recall = jnp.where(is_best, sums[0], best_recall)
+            best_g = jax.tree.map(
+                lambda new, old: jnp.where(is_best, new, old), g, best_g
+            )
+            best_bufs = tuple(
+                jnp.where(is_best, new, old)
+                for new, old in zip(bufs, best_bufs)
+            )
+            carry = (key, dn, dno, g, go, bufs, best_recall, best_g, best_bufs)
+            return carry, (modal_acc, joint_acc, sums)
+
+        neg_inf = jnp.float32(-jnp.inf)
+        init = (key, dn_params, dn_opt_states, gcn_params, gcn_opt_state,
+                bufs0, neg_inf, gcn_params, bufs0)
+        (key, dn, dno, g, go, bufs, best_recall, best_g, best_bufs), ys = (
+            jax.lax.scan(
+                body, init, (diff_users, joint_perms, lrs, eval_flags)
+            )
+        )
+        modal_accs, joint_accs, eval_sums = ys
+        return (key, dn, dno, g, go, bufs, modal_accs, joint_accs,
+                eval_sums, best_recall, best_g, best_bufs)
+
+    return epochs_fused_eval

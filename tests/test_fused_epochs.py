@@ -93,29 +93,46 @@ def test_fused_sparse_form(tiny_config, tiny_data):
     _assert_tree_close(a.gcn_params, b.gcn_params)
 
 
-def test_chunk_size_respects_boundaries(tiny_config, tiny_data):
+def test_chunk_size_respects_boundaries(tiny_config, tiny_data, tmp_path):
     cfg = copy.deepcopy(tiny_config)
-    cfg.train.epoch_scan = 2
-    cfg.train.tstEpoch = 2
+    cfg.train.epoch_scan = 3
+    cfg.train.tstEpoch = 1  # eval boundaries do NOT break chunks (in-program)
     coach = Coach(cfg, tiny_data)
-    # epoch 0 evaluates (0 % 2 == 0) -> no interior room -> single
-    assert coach._chunk_size(0, 10) == 1
-    # [1, 2]: interior epoch 1 is boundary-free, eval lands at chunk end
-    assert coach._chunk_size(1, 10) == 2
-    assert coach._chunk_size(3, 10) == 2
+    assert coach._chunk_size(0, 10) == 3
+    assert coach._chunk_size(3, 10) == 3
     # tail shorter than epoch_scan runs single-epoch (a 9-epoch tail chunk
     # measured a fresh 37 s scan-length compile on the tunnel)
     assert coach._chunk_size(9, 10) == 1
-    # a shrunk (eval-misaligned) window never fuses either: epoch_scan=4
-    # with tstEpoch=2 would make every chunk a distinct scan length
-    cfg3 = copy.deepcopy(tiny_config)
-    cfg3.train.epoch_scan = 4
-    cfg3.train.tstEpoch = 2
-    assert Coach(cfg3, tiny_data)._chunk_size(1, 10) == 1
+    assert coach._chunk_size(8, 10) == 1
+    # checkpoint boundaries DO break chunks (the save is host-side)
+    ck = Coach(
+        copy.deepcopy(cfg), tiny_data,
+        checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=4,
+    )
+    # interior epoch 3 would checkpoint ((3+1) % 4 == 0) -> single
+    assert ck._chunk_size(2, 10) == 1
+    assert ck._chunk_size(4, 10) == 3
     # epoch_scan=1 disables
     cfg2 = copy.deepcopy(tiny_config)
     cfg2.train.epoch_scan = 1
     assert Coach(cfg2, tiny_data)._chunk_size(1, 10) == 1
+
+
+def test_run_fused_eval_mesh(tiny_config, tiny_data):
+    """In-program eval under a mesh: the distributed-top-k shard_map runs
+    inside lax.cond inside the epoch scan."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    cfg = copy.deepcopy(tiny_config)
+    cfg.train.epoch_scan = 2
+    meshed = Coach(
+        copy.deepcopy(cfg), tiny_data, mesh=make_mesh(8, model_parallel=2)
+    )
+    single = Coach(copy.deepcopy(cfg), tiny_data)
+    bm = meshed.run(epochs=2)
+    bs = single.run(epochs=2)
+    assert abs(bm["Recall"] - bs["Recall"]) <= 0.05
+    assert bm["best_epoch"] == bs["best_epoch"]
 
 
 def test_fused_checkpoint_resume_interchangeable(tiny_config, tiny_data, tmp_path):
@@ -137,21 +154,46 @@ def test_fused_checkpoint_resume_interchangeable(tiny_config, tiny_data, tmp_pat
 
     cfg.train.epoch_scan = 2
     second = Coach(cfg, tiny_data, checkpoint_dir=ck)
-    # resume runs epoch 2 single (eval boundary), [3, 4] as one fused
-    # chunk, epoch 5 single (tail) — spy that the fused path really ran
+    # resume runs [2, 3] and [4, 5] as fused chunks (in-program evals at
+    # 2 and 4) — spy that the fused path really ran
     fused_calls = []
     orig = second.train_epochs_fused
-    second.train_epochs_fused = lambda e, n: (
-        fused_calls.append((e, n)) or orig(e, n)
+    second.train_epochs_fused = lambda e, n, s=None: (
+        fused_calls.append((e, n)) or orig(e, n, s)
     )
     second.run(epochs=6)
-    assert fused_calls == [(3, 2)], fused_calls
+    assert fused_calls == [(2, 2), (4, 2)], fused_calls
 
     np.testing.assert_array_equal(
         np.asarray(jax.random.key_data(full.key)),
         np.asarray(jax.random.key_data(second.key)),
     )
     _assert_tree_close(full.gcn_params, second.gcn_params)
+
+
+def test_run_fused_eval_every_epoch(tiny_config, tiny_data):
+    """tstEpoch=1 (the reference cadence): evals run in-program under
+    lax.cond, and the carry's best-state tracking reproduces the
+    single-epoch path's best-model selection (reference Main.py:71-78)."""
+    cfg = copy.deepcopy(tiny_config)  # tstEpoch = 1
+    plain = Coach(copy.deepcopy(cfg), tiny_data)
+    plain_best = plain.run(epochs=4)
+    cfg.train.epoch_scan = 4
+    fused = Coach(cfg, tiny_data)
+    fused_best = fused.run(epochs=4)
+    assert fused_best["best_epoch"] == plain_best["best_epoch"]
+    assert abs(fused_best["Recall"] - plain_best["Recall"]) <= 0.05
+    # the in-carry best snapshot equals the host-side capture of the same
+    # epoch — the serving export reproduces the best epoch either way
+    assert fused.best_snapshot is not None
+    assert fused.best_snapshot["epoch"] == plain.best_snapshot["epoch"]
+    _assert_tree_close(
+        plain.best_snapshot["gcn_params"], fused.best_snapshot["gcn_params"]
+    )
+    for a, b in zip(
+        plain.best_snapshot["edge_buffers"], fused.best_snapshot["edge_buffers"]
+    ):
+        assert np.mean(np.asarray(a) == np.asarray(b)) > 0.99
 
 
 def test_run_with_epoch_scan(tiny_config, tiny_data):
