@@ -135,6 +135,13 @@ class TrainConfig:
     # where the reference's torch.topk order is unspecified too. "exact"
     # keeps lax.top_k.
     rebuild_topk: str = "approx"
+    # Compute dtype of the phase-2 reverse-diffusion denoiser MLPs (the
+    # rebuild is no-grad graph GENERATION — its output is consumed only
+    # through per-user top-k, so sub-f32 matmul noise can at most reorder
+    # near-tied candidates). "bf16" runs the reverse MLPs on the MXU's
+    # bf16 path (f32 accumulation); training (phase 1, autodiff) always
+    # stays f32. Measured A/B + accuracy band in DESIGN.md §2c.
+    rebuild_compute: str = "f32"
     # TPU-specific: number of consecutive training epochs fused into ONE
     # compiled program (a lax.scan over epochs). Each dispatch crosses the
     # host->device boundary (~28 ms round-trip over this environment's

@@ -93,6 +93,7 @@ def denoise_forward(
     x_t: jax.Array,
     timesteps: jax.Array,
     modal_feat: jax.Array | None = None,
+    compute_dtype=None,
 ) -> jax.Array:
     """Predict x0 from x_t (reference `Model.py:183-220`).
 
@@ -102,11 +103,21 @@ def denoise_forward(
       modal_feat: optional (I, latdim) projected modality features — supplied
         during diffusion training (`Model.py:404`) but NOT during reverse
         sampling (`Model.py:365`).
+      compute_dtype: optional activation dtype for the MLP matmuls (e.g.
+        ``jnp.bfloat16`` for the no-grad rebuild path, train.rebuild_compute).
+        Weights are NOT cast here — pass params already in this dtype so the
+        cast is hoisted out of reverse-sampling scan bodies. The tiny time
+        embedding stays f32 and is cast after its projection.
     Returns:
-      (B, I) predicted clean rows.
+      (B, I) predicted clean rows (in ``compute_dtype`` when set).
     """
     emb = timestep_embedding(timesteps, params["emb"]["w"].shape[0])
     time_emb = emb @ params["emb"]["w"] + params["emb"]["b"]
+    if compute_dtype is not None:
+        x_t = x_t.astype(compute_dtype)
+        time_emb = time_emb.astype(compute_dtype)
+        if modal_feat is not None:
+            modal_feat = modal_feat.astype(compute_dtype)
 
     if modal_feat is not None:
         projected = x_t @ modal_feat  # (B, latdim)

@@ -105,6 +105,34 @@ def make_train_steps(
             f"base.denoiser_impl must be auto|xla|pallas, got {impl!r}"
         )
 
+    # train.rebuild_compute="bf16": run the no-grad reverse-sampling MLPs on
+    # the MXU's bf16 path (f32 accumulation). Params are cast ONCE per
+    # rebuild block (outside the timestep scan); the forward casts its
+    # activations. Training (phase 1) is untouched — it autodiffs in f32.
+    rebuild_compute = train_cfg.rebuild_compute
+    if rebuild_compute == "bf16":
+        if impl == "pallas":
+            raise ValueError(
+                "train.rebuild_compute='bf16' uses the XLA denoiser forward; "
+                "drop base.denoiser_impl='pallas' (the Mosaic kernel is f32)"
+            )
+
+        def rebuild_apply(params, x_t, t, modal_feat):
+            return denoise_forward(
+                params, x_t, t, modal_feat, compute_dtype=jnp.bfloat16
+            ).astype(jnp.float32)
+
+        def cast_rebuild_params(p):
+            return jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+
+    elif rebuild_compute == "f32":
+        rebuild_apply = sample_apply
+        cast_rebuild_params = lambda p: p
+    else:
+        raise ValueError(
+            f"train.rebuild_compute must be f32|bf16, got {rebuild_compute!r}"
+        )
+
     # ---------------------------------------------------------------- phase 1
     def _modal_losses(dn_params_list, gcn_params, raw_feats, x0, weights, key, hp):
         feats = [
@@ -198,11 +226,11 @@ def make_train_steps(
         for m in range(n_modal):
             denoised = generate_view(
                 schedule,
-                dn_params_list[m],
+                cast_rebuild_params(dn_params_list[m]),
                 x0,
                 sampling_step=sampling_step,
                 key=keys[m],
-                denoise_apply=sample_apply,
+                denoise_apply=rebuild_apply,
             )
             tables.append(topk_table(denoised, k_max, train_cfg.rebuild_topk))
         return tuple(tables)

@@ -139,3 +139,43 @@ def test_topk_table_approx_matches_exact_sets(rng):
     # and every prefix (= per-user degree cut) selects the same value set
     for k in (1, 7, 50):
         np.testing.assert_array_equal(np.sort(va[:, :k]), np.sort(ve[:, :k]))
+
+
+def test_rebuild_compute_bf16(tiny_config, tiny_data):
+    """train.rebuild_compute='bf16' changes ONLY the no-grad reverse-sampling
+    compute: phase-1 diffusion training stays bit-identical f32, and the
+    regenerated edge buffers agree with the f32 rebuild up to near-tie
+    reordering (the buffers hold per-user top-degree item ids)."""
+    import copy
+
+    import jax
+    import pytest
+
+    from diffmm_tpu.train.coach import Coach
+
+    cfg_a = copy.deepcopy(tiny_config)
+    cfg_b = copy.deepcopy(tiny_config)
+    cfg_b.train.rebuild_compute = "bf16"
+    a = Coach(cfg_a, tiny_data)
+    b = Coach(cfg_b, tiny_data)
+    a.train_epoch(0)
+    b.train_epoch(0)
+    # phase 1 is untouched by the rebuild dtype: denoiser params identical
+    for pa, pb in zip(a.dn_params, b.dn_params):
+        jax.tree.map(
+            lambda x, y: np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y)
+            ),
+            pa,
+            pb,
+        )
+    # the rebuilt graphs agree except where bf16 matmul noise reorders
+    # near-tied candidates at each user's degree cut
+    for ba, bb in zip(a.edge_buffers, b.edge_buffers):
+        overlap = np.mean(np.asarray(ba) == np.asarray(bb))
+        assert overlap > 0.85, overlap
+
+    cfg_c = copy.deepcopy(tiny_config)
+    cfg_c.train.rebuild_compute = "fp8"
+    with pytest.raises(ValueError, match="rebuild_compute"):
+        Coach(cfg_c, tiny_data)
