@@ -142,6 +142,19 @@ class TrainConfig:
     # bf16 path (f32 accumulation); training (phase 1, autodiff) always
     # stays f32. Measured A/B + accuracy band in DESIGN.md §2c.
     rebuild_compute: str = "f32"
+    # User iteration order of the phase-2 rebuild. "degree" visits users in
+    # degree-descending order so the per-block top-k width shrinks from the
+    # GLOBAL max degree to each block's own max — on power-law datasets all
+    # but the first block run a tiny top-k (tiktok: k=603 for 1 of 10
+    # blocks, k=4 for the rest; top-k at (1024, 6710) measured 2.8 ms at
+    # k=603 vs ~0.02 ms at k=4 on v5e). Semantics: the rebuild computes
+    # each user's row independently, so order changes ONLY which q-sample
+    # noise draw a user receives (and nothing at all at sampling_step=0);
+    # the reference's own rebuild order is a shuffle=True DataLoader
+    # (reference DataHandler.py:129, Main.py:211), i.e. arbitrary.
+    # "identity" keeps the round-2 order for bit-exact continuity with
+    # earlier checkpoints/trajectories.
+    rebuild_order: str = "identity"
     # TPU-specific: number of consecutive training epochs fused into ONE
     # compiled program (a lax.scan over epochs). Each dispatch crosses the
     # host->device boundary (~28 ms round-trip over this environment's

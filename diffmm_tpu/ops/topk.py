@@ -23,6 +23,8 @@ reference itself does not define tie order (SURVEY.md §7.3).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +47,87 @@ def topk_table(scores: jax.Array, k_max: int, impl: str = "approx") -> jax.Array
     else:
         raise ValueError(f"rebuild_topk must be approx|exact, got {impl!r}")
     return idx.astype(jnp.int32)
+
+
+class RebuildBucketPlan(NamedTuple):
+    """Static host plan for the degree-ordered bucketed rebuild
+    (``train.rebuild_order = "degree"``).
+
+    Users are visited in degree-DESCENDING order and partitioned into
+    contiguous ``batch``-sized blocks; blocks group into buckets, each with
+    its own static top-k width = (pow2-rounded) max train degree within the
+    bucket. On power-law degree distributions (tiktok p95 degree = 3, max =
+    603) all but the leading bucket run a tiny top-k. The rebuild computes
+    each user's row independently (reference `Main.py:211-253`), so order
+    affects only which q-sample noise draw a user receives — and the
+    reference's own rebuild iterates a ``shuffle=True`` DataLoader
+    (reference `DataHandler.py:129`), i.e. its order is arbitrary too.
+
+    ``user_blocks[b]`` is the bucket's ``(n_blocks_b, batch)`` int32 user
+    ids (wrap-padded in the final block); ``widths[b]`` its static top-k
+    width; ``row_starts[b]`` the first row of the bucket in the virtual
+    stacked table (= cumulative padded user count); ``row_of_user`` maps a
+    user id to its stacked-table row (degree-sort position).
+    """
+
+    user_blocks: tuple[np.ndarray, ...]
+    widths: tuple[int, ...]
+    row_starts: tuple[int, ...]
+    row_of_user: np.ndarray
+
+
+def plan_rebuild_buckets(
+    degrees: np.ndarray,
+    batch: int,
+    item_num: int,
+    small_cap: int = 32,
+) -> RebuildBucketPlan:
+    """Degree-descending two-bucket rebuild plan.
+
+    The leading bucket takes the blocks that contain any user with degree >
+    ``small_cap`` at the exact global ``k_max``; the tail bucket takes the
+    rest at the pow2-rounded max degree of its own users. Two buckets (not
+    one per distinct width) bound the number of distinct scan programs the
+    fused multi-epoch compile has to build — each extra width is an extra
+    XLA program, and tunnel compiles are the expensive resource.
+    """
+    degrees = np.asarray(degrees, dtype=np.int64)
+    n = len(degrees)
+    order = np.argsort(-degrees, kind="stable").astype(np.int32)
+    n_blocks = max(1, -(-n // batch))
+    padded = np.empty(n_blocks * batch, dtype=np.int32)
+    padded[:n] = order
+    # pad with the lightest user: its rows compute but are never gathered
+    padded[n:] = order[-1]
+    sorted_deg = np.zeros(n_blocks * batch, dtype=np.int64)
+    sorted_deg[:n] = degrees[order]
+    block_max = sorted_deg.reshape(n_blocks, batch).max(axis=1)
+    # suffix maxima: first block index from which every block is "small"
+    suffix_max = np.maximum.accumulate(block_max[::-1])[::-1]
+    split = int(np.searchsorted(-suffix_max, -small_cap))  # suffix_max desc
+
+    def width_for(max_deg: int) -> int:
+        w = 1 << max(0, int(max_deg) - 1).bit_length()  # pow2 >= max_deg
+        return int(min(max(w, max(1, int(max_deg))), item_num))
+
+    blocks = padded.reshape(n_blocks, batch)
+    buckets: list[tuple[np.ndarray, int]] = []
+    if split > 0:
+        buckets.append((blocks[:split], int(block_max[:split].max())))
+    if split < n_blocks:
+        buckets.append((blocks[split:], width_for(suffix_max[split])))
+    row_of_user = np.empty(n, dtype=np.int32)
+    row_of_user[order] = np.arange(n, dtype=np.int32)
+    row_starts, start = [], 0
+    for blk, _ in buckets:
+        row_starts.append(start)
+        start += blk.size
+    return RebuildBucketPlan(
+        user_blocks=tuple(b for b, _ in buckets),
+        widths=tuple(w for _, w in buckets),
+        row_starts=tuple(row_starts),
+        row_of_user=row_of_user,
+    )
 
 
 def make_csr_gather_layout(

@@ -198,16 +198,44 @@ class Coach:
         self.edge_buf_len = host.nnz + (-host.nnz % EDGE_ALIGN)
         # static CSR layout for the gather-form rebuild (ops/topk.py):
         # u_of_pos / lane_of_pos / pad_mask, device-resident once
-        from diffmm_tpu.ops.topk import make_csr_gather_layout
+        from diffmm_tpu.ops.topk import (
+            make_csr_gather_layout,
+            plan_rebuild_buckets,
+        )
 
+        u_of_pos, lane_of_pos, pad_mask = make_csr_gather_layout(
+            host.user_degrees, self.edge_buf_len
+        )
+        self.rebuild_plan = None
+        if config.train.rebuild_order == "degree":
+            # degree-descending bucketed rebuild: per-bucket static top-k
+            # widths; u_of_pos becomes the user's degree-sort row
+            self.rebuild_plan = plan_rebuild_buckets(
+                host.user_degrees, config.train.batch, host.item_num
+            )
+            u_of_pos = self.rebuild_plan.row_of_user[u_of_pos]
+            self._reb_users_np = self.rebuild_plan.user_blocks
+        elif config.train.rebuild_order != "identity":
+            raise ValueError(
+                "train.rebuild_order must be identity|degree, got "
+                f"{config.train.rebuild_order!r}"
+            )
+        else:
+            idx, _ = _pad_blocks(host.user_num, config.train.batch)
+            self._reb_users_np = idx.reshape(-1, config.train.batch)
+        self.n_reb_blocks = (
+            sum(b.shape[0] for b in self._reb_users_np)
+            if isinstance(self._reb_users_np, tuple)
+            else self._reb_users_np.shape[0]
+        )
         self.csr_gather_layout = tuple(
-            jnp.asarray(a)
-            for a in make_csr_gather_layout(host.user_degrees, self.edge_buf_len)
+            jnp.asarray(a) for a in (u_of_pos, lane_of_pos, pad_mask)
         )
         self.segsum_plans = self._segsum_gate()
         self.steps = make_train_steps(
             config, self.schedule, self.n_modal, host.k_max,
             segsum_plans=self.segsum_plans,
+            rebuild_plan=self.rebuild_plan,
         )
         if config.train.epoch_scan < 1:
             raise ValueError(
@@ -366,6 +394,15 @@ class Coach:
     def _put_blocks(self, x: jax.Array) -> jax.Array:
         """(n_blocks, batch) epoch input: batch dim over the data axis."""
         return shard_blocks(x, self.mesh) if self.mesh is not None else x
+
+    def _reb_blocks_device(self):
+        """Rebuild user blocks on device: one (n_blocks, batch) array
+        (identity order) or the degree plan's per-bucket tuple."""
+        if isinstance(self._reb_users_np, tuple):
+            return tuple(
+                self._put_blocks(jnp.asarray(b)) for b in self._reb_users_np
+            )
+        return self._put_blocks(jnp.asarray(self._reb_users_np))
 
     def _segsum_gate(self) -> tuple:
         """Host-made static plans for the MXU sorted-segment-sum on the
@@ -544,17 +581,16 @@ class Coach:
             if self.modal_adjs is None:
                 self.modal_adjs = self._knn_adjs()
             return self._joint_phase(epoch, lr, negs, modal_loss_acc, hp)
-        # same block layout as phase 1 (identical n/batch); IDENTITY user
-        # order — the stacked per-block top-k tables then form a (U_pad,
-        # k_max) matrix and the CSR buffers build by one gather (no scatter)
-        users_seq = jnp.asarray(idx)
-        n_reb_blocks = len(idx) // batch
+        # precomputed block layout (Coach.__init__): identity order — the
+        # stacked per-block top-k tables form a (U_pad, k_max) matrix and
+        # the CSR buffers build by one gather (no scatter) — or the
+        # degree-descending buckets of train.rebuild_order="degree"
         with self.timer.phase("rebuild"):
             edge_buffers = self.steps.rebuild_epoch(
                 self.dn_params,
                 data.train_dense,
-                self._put_blocks(users_seq.reshape(n_reb_blocks, batch)),
-                jax.random.split(self._next_key(), n_reb_blocks),
+                self._reb_blocks_device(),
+                jax.random.split(self._next_key(), self.n_reb_blocks),
                 # traced scalar: sweeps change it without a retrace; inside
                 # the jitted program the dynamic q_sample+where path runs
                 # regardless (its cost is noise next to the denoiser MLPs)
@@ -712,7 +748,7 @@ class Coach:
         weight_blocks = self._put_blocks(
             jnp.asarray(valid.astype(np.float32)).reshape(nb_d, batch)
         )
-        reb_users = self._put_blocks(jnp.asarray(idx).reshape(nb_d, batch))
+        reb_users = self._reb_blocks_device()
         jidx, _ = _pad_blocks(host.nnz, batch)
         nb_j = len(jidx) // batch
 

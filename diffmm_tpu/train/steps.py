@@ -58,12 +58,18 @@ def make_train_steps(
     n_modal: int,
     k_max: int,
     segsum_plans: tuple = (None, None),
+    rebuild_plan=None,
 ) -> TrainSteps:
     """``segsum_plans = (user_dir_plan, item_dir_plan)``: host-made plans for
     the MXU sorted-segment-sum on the sparse graph form (None = XLA scatter).
     The user direction applies to every graph (rebuilt modality graphs share
     the train rows); the item direction only to the static main graph
-    (rebuilt item ids are dynamic, so their layout cannot be planned)."""
+    (rebuilt item ids are dynamic, so their layout cannot be planned).
+
+    ``rebuild_plan`` (ops.topk.RebuildBucketPlan, from
+    ``train.rebuild_order="degree"``): static degree-descending bucket
+    layout for the phase-2 rebuild — per-bucket top-k widths instead of one
+    global ``k_max``. None keeps the identity order."""
     hyper = config.hyper
     train_cfg = config.train
     if train_cfg.rebuild_topk not in ("approx", "exact"):
@@ -217,9 +223,10 @@ def make_train_steps(
 
     # ---------------------------------------------------------------- phase 2
     def _rebuild_block_tables(dn_params_list, train_dense, users, key,
-                              sampling_step):
+                              sampling_step, k_table=None):
         """Reverse-diffuse a user block per modality -> value-sorted
-        (B, k_max) top-index tables (one per modality)."""
+        (B, k_table) top-index tables (one per modality; default width =
+        the global ``k_max``)."""
         x0 = train_dense.take(users, axis=0).astype(jnp.float32)
         keys = jax.random.split(key, n_modal)
         tables = []
@@ -232,39 +239,94 @@ def make_train_steps(
                 key=keys[m],
                 denoise_apply=rebuild_apply,
             )
-            tables.append(topk_table(denoised, k_max, train_cfg.rebuild_topk))
+            tables.append(
+                topk_table(denoised, k_table or k_max, train_cfg.rebuild_topk)
+            )
         return tuple(tables)
 
-    rebuild_step = jax.jit(_rebuild_block_tables)
+    rebuild_step = jax.jit(_rebuild_block_tables, static_argnames=("k_table",))
+
+    # Bucketed rebuild (train.rebuild_order="degree"): per-bucket static
+    # top-k widths. Identity order is the single-bucket special case below.
+    plan_widths = rebuild_plan.widths if rebuild_plan is not None else ()
+    plan_starts = rebuild_plan.row_starts if rebuild_plan is not None else ()
 
     @jax.jit
     def rebuild_epoch(dn_params_list, train_dense, users_blocks, keys,
-                      sampling_step, u_of_pos, lane_of_pos, pad_mask,
+                      sampling_step, row_of_pos, lane_of_pos, pad_mask,
                       item_num):
-        """All rebuild blocks of one epoch as a single compiled scan.
+        """All rebuild blocks of one epoch, one scan per top-k width.
 
-        The epoch iterates users in IDENTITY order (coach passes
-        ``_pad_blocks`` indices), so the scan's stacked top-index tables
-        already form a (U_pad, k_max) matrix and each modality's CSR edge
-        buffer is ONE static gather (``csr_gather_build``) — no scatter.
-        The former per-block masked scatter (``topk_scatter_edges``, kept
-        as the parity oracle) measured 2.9 ms x 30 blocks/epoch on v5e;
-        the gather is sub-ms per epoch. ``sampling_step`` is traced so
-        hyperparameter sweeps don't retrace."""
+        Identity order (``rebuild_plan=None``): coach passes ``_pad_blocks``
+        indices, one scan over all blocks, and the stacked (U_pad, k_max)
+        table builds each modality's CSR edge buffer with ONE static gather
+        (``csr_gather_build``) — no scatter. The former per-block masked
+        scatter (``topk_scatter_edges``, kept as the parity oracle)
+        measured 2.9 ms x 30 blocks/epoch on v5e; the gather is sub-ms.
 
-        def body(_, xs):
-            users, key = xs
-            return None, _rebuild_block_tables(
-                dn_params_list, train_dense, users, key, sampling_step
+        Degree order: ``users_blocks`` is a per-bucket tuple in the plan's
+        degree-descending block order; each bucket scans at its own static
+        width (the dominant win — top-k at (1024, 6710) costs 2.8 ms at
+        k=603 vs ~0.02 ms at k=4, and on power-law degrees only the leading
+        bucket needs the global k_max). ``row_of_pos`` then maps CSR
+        positions to degree-sort rows and the buffer build selects between
+        the buckets' gathers on the static row ranges. ``keys`` stay one
+        (n_total_blocks, 2) array consumed in block order, so the key
+        stream is identical across graph forms. ``sampling_step`` is traced
+        so hyperparameter sweeps don't retrace."""
+        if rebuild_plan is None:
+            bucket_blocks = (users_blocks,)
+            widths = (k_max,)
+            starts = (0,)
+        else:
+            bucket_blocks = tuple(users_blocks)
+            widths = plan_widths
+            starts = plan_starts
+
+        bucket_tables = []  # [bucket][modality] -> (rows_b, k_b)
+        ofs = 0
+        for blocks_b, k_b in zip(bucket_blocks, widths):
+            nb = blocks_b.shape[0]
+
+            def body(_, xs, k_b=k_b):
+                users, key = xs
+                return None, _rebuild_block_tables(
+                    dn_params_list, train_dense, users, key, sampling_step,
+                    k_table=k_b,
+                )
+
+            _, tabs = jax.lax.scan(
+                body, None, (blocks_b, keys[ofs:ofs + nb])
+            )
+            ofs += nb
+            bucket_tables.append(
+                [tabs[m].reshape(-1, k_b) for m in range(n_modal)]
             )
 
-        _, tables = jax.lax.scan(body, None, (users_blocks, keys))
         buffers = []
         for m in range(n_modal):
-            tab = tables[m].reshape(-1, tables[m].shape[-1])
-            buffers.append(
-                csr_gather_build(tab, u_of_pos, lane_of_pos, pad_mask, item_num)
-            )
+            if len(bucket_tables) == 1:
+                buffers.append(
+                    csr_gather_build(
+                        bucket_tables[0][m], row_of_pos, lane_of_pos,
+                        pad_mask, item_num,
+                    )
+                )
+                continue
+            edges = None
+            for tab_m, k_b, start in zip(bucket_tables, widths, starts):
+                tab = tab_m[m]
+                local_row = jnp.clip(row_of_pos - start, 0, tab.shape[0] - 1)
+                # in-bucket lanes are < k_b by construction (bucket width >=
+                # its users' degrees); the clamp only covers OTHER buckets'
+                # positions, which the select below masks out
+                local_lane = jnp.minimum(lane_of_pos, k_b - 1)
+                cand = tab[local_row, local_lane]
+                edges = (
+                    cand if edges is None
+                    else jnp.where(row_of_pos >= start, cand, edges)
+                )
+            buffers.append(jnp.where(pad_mask, jnp.int32(item_num), edges))
         return buffers
 
     # ---------------------------------------------------------------- phase 3
@@ -441,7 +503,12 @@ def make_epochs_fused(
         (raw_feats, train_dense, train_rows, train_cols, adj, weight_blocks,
          reb_users, hp, sampling_step, u_of_pos, lane_of_pos, pad_mask) = invariants
         nb_d = du.shape[0]
-        nb_r = reb_users.shape[0]
+        # reb_users is a per-bucket tuple under rebuild_order="degree"
+        nb_r = (
+            sum(b.shape[0] for b in reb_users)
+            if isinstance(reb_users, tuple)
+            else reb_users.shape[0]
+        )
         nb_j = jp.shape[0]
         # split order == Coach._next_key call order in train_epoch
         key, k_neg = jax.random.split(key)
