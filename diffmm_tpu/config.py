@@ -170,6 +170,15 @@ class TrainConfig:
     # fresh XLA compile — a one-off tail chunk measured 37 s on the tunnel
     # vs ~0.05 s/epoch saved); shrunk windows run single-epoch. 1 disables.
     epoch_scan: int = 1
+    # TPU-specific: donate the consumed-and-replaced state buffers (params +
+    # Adam moments, and the fused path's carry) to their update programs so
+    # XLA aliases input and output instead of holding both across the step
+    # boundary. Training state is the only per-catalog-row allocation with
+    # THREE copies (params, m, v); without donation its peak doubles to six
+    # at every phase dispatch. Safe because Coach reassigns the state from
+    # the program outputs and never touches the old arrays (checkpoint saves
+    # snapshot to host before returning). Off restores round-2 behavior.
+    donate_buffers: bool = True
 
 
 @dataclass

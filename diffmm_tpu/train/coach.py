@@ -783,11 +783,14 @@ class Coach:
         if self.edge_buffers is not None:
             bufs0 = tuple(self.edge_buffers)
         else:
-            zero = jnp.zeros((self.edge_buf_len,), jnp.int32)
-            bufs0 = tuple(
-                shard_batch(zero, self.mesh) if self.mesh is not None else zero
-                for _ in range(self.n_modal)
-            )
+            # one DISTINCT zero buffer per modality: bufs0 is donated to the
+            # fused program (train.donate_buffers), and donating the same
+            # buffer at two argument positions is an execution error
+            def zero():
+                z = jnp.zeros((self.edge_buf_len,), jnp.int32)
+                return shard_batch(z, self.mesh) if self.mesh is not None else z
+
+            bufs0 = tuple(zero() for _ in range(self.n_modal))
 
         # in-program eval: flags per epoch + the split's prepared blocks
         eval_blocks = None
@@ -816,6 +819,7 @@ class Coach:
                 self.steps, host.item_num, self._fused_adj_builder(),
                 constrain_buf=cbuf, constrain_blocks=cblk,
                 eval_fn=self._make_fused_eval_fn() if with_eval else None,
+                donate=cfg.train.donate_buffers,
             )
             self._fused_progs[with_eval] = prog
 

@@ -25,6 +25,7 @@ dims, graph form) are compile-time constants.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -191,8 +192,15 @@ def make_train_steps(
 
     diffusion_step = jax.jit(_diffusion_block)
 
-    @jax.jit
-    def diffusion_epoch(dn_params_list, dn_opt_states, gcn_params, raw_feats,
+    # train.donate_buffers: the epoch programs consume-and-replace their
+    # state (params + Adam moments), so those inputs are donated — XLA
+    # aliases them to the matching outputs instead of holding both copies
+    # across the dispatch. Nested use (the fused epoch scan traces these
+    # same callables) silently ignores the annotation; the fused program
+    # carries its own donation list.
+    _donate = (0, 1) if train_cfg.donate_buffers else ()
+
+    def _diffusion_epoch(dn_params_list, dn_opt_states, gcn_params, raw_feats,
                         train_dense, users_blocks, weight_blocks, keys, lr, hp):
         """All diffusion blocks of one epoch as a single compiled scan —
         one dispatch instead of one per block. ``users_blocks`` /
@@ -220,6 +228,8 @@ def make_train_steps(
             (users_blocks, weight_blocks, keys),
         )
         return dn, states, acc
+
+    diffusion_epoch = jax.jit(_diffusion_epoch, donate_argnums=_donate)
 
     # ---------------------------------------------------------------- phase 2
     def _rebuild_block_tables(dn_params_list, train_dense, users, key,
@@ -408,8 +418,7 @@ def make_train_steps(
 
     joint_step = jax.jit(_joint_block)
 
-    @jax.jit
-    def joint_epoch(gcn_params, opt_state, adj, modal_adjs, raw_feats,
+    def _joint_epoch(gcn_params, opt_state, adj, modal_adjs, raw_feats,
                     users_blocks, pos_blocks, neg_blocks, keys, lr, hp):
         """All joint-training blocks of one epoch as a single compiled scan;
         returns the summed metric vector (Loss/BPR/reg/CL)."""
@@ -430,6 +439,8 @@ def make_train_steps(
             (users_blocks, pos_blocks, neg_blocks, keys),
         )
         return params, state, acc
+
+    joint_epoch = jax.jit(_joint_epoch, donate_argnums=_donate)
 
     # ------------------------------------------------------------------ eval
     @jax.jit
@@ -461,6 +472,7 @@ def make_epochs_fused(
     constrain_buf=None,
     constrain_blocks=None,
     eval_fn=None,
+    donate: bool = True,
 ):
     """One compiled program for E consecutive training epochs.
 
@@ -535,7 +547,14 @@ def make_epochs_fused(
         )
         return key, dn, dno, g, go, bufs, modal_adjs, modal_acc, joint_acc
 
-    @jax.jit
+    # args 1-5 are the training state the chunk consumes and replaces
+    # (denoiser params/moments, GCN params/moments, edge buffers) — donated
+    # so the chunk's state peak is one copy, not input+output. The in-carry
+    # best-model tracking of the eval variant reuses gcn_params/bufs0 as the
+    # best-state init; XLA copies where an alias can't serve both outputs.
+    _donate_fused = (1, 2, 3, 4, 5) if donate else ()
+
+    @functools.partial(jax.jit, donate_argnums=_donate_fused)
     def epochs_fused(
         key, dn_params, dn_opt_states, gcn_params, gcn_opt_state, bufs0,
         raw_feats, train_dense, train_rows, train_cols, adj,
@@ -562,7 +581,7 @@ def make_epochs_fused(
     if eval_fn is None:
         return epochs_fused
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=_donate_fused)
     def epochs_fused_eval(
         key, dn_params, dn_opt_states, gcn_params, gcn_opt_state, bufs0,
         raw_feats, train_dense, train_rows, train_cols, adj,
