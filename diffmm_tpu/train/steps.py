@@ -409,6 +409,13 @@ def make_train_steps(
             total = rec + reg + cl
             return total, (rec, reg, cl)
 
+        # Measured non-lever (DESIGN.md §6a): jax.checkpoint(loss_fn) here
+        # INCREASES the sparse-form executable temps at 40000x20000 (5.52 vs
+        # 4.93 GB) — one whole-loss remat block re-materializes the full
+        # propagation chain during the backward, so the per-edge transients
+        # it targets are all live again, plus the recompute buffers. The
+        # transients also shard with the data axis on a mesh, which is where
+        # that catalog scale runs anyway.
         (total, (rec, reg, cl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             gcn_params
         )

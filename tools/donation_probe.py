@@ -104,13 +104,20 @@ def main(argv=None) -> int:
         "synthetic default 0.06 is unrealistically dense at large scale)",
     )
     p.add_argument("--data-root", default=None)
+    p.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="config overrides (sweep/CLI spelling), e.g. "
+        "--set train.remat_joint=true --set train.graph_form=sparse",
+    )
     args = p.parse_args(argv)
 
-    from diffmm_tpu.config import load_config
+    from diffmm_tpu.config import apply_overrides, load_config
     from diffmm_tpu.data.loader import load_host_data
     from diffmm_tpu.train.coach import Coach
 
     config = load_config(args.config)
+    if args.set:
+        apply_overrides(config, args.set)
     if args.scale:
         from diffmm_tpu.data.synthetic import make_synthetic_host_data
 
@@ -123,7 +130,8 @@ def main(argv=None) -> int:
         host = load_host_data(config, data_root=args.data_root)
 
     report = {"dataset": host.name, "users": host.user_num,
-              "items": host.item_num, "device": str(jax.devices()[0])}
+              "items": host.item_num, "device": str(jax.devices()[0]),
+              "overrides": args.set}
     for donate in (True, False):
         cfg = copy.deepcopy(config)
         cfg.train.donate_buffers = donate
