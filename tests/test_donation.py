@@ -85,6 +85,34 @@ def test_donation_off_preserves_inputs(tiny_config, tiny_data):
     np.asarray(old_gcn)  # still readable
 
 
+def test_async_save_then_donating_epoch(tiny_config, tiny_data, tmp_path):
+    """The async-checkpoint / donation interplay: orbax's save snapshots
+    device arrays to host BEFORE returning (writing continues in the
+    background), so an immediately-following epoch may donate — and
+    therefore invalidate — the very buffers just saved. The restored
+    checkpoint must hold the pre-donation values."""
+    cfg = copy.deepcopy(tiny_config)
+    coach = Coach(cfg, tiny_data, checkpoint_dir=str(tmp_path / "ck"))
+    assert coach.ckpt.async_save
+    coach.train_epoch(0)
+    saved_u = np.asarray(coach.gcn_params["u_embs"])
+    saved_dn = np.asarray(jax.tree.leaves(coach.dn_params)[0])
+    coach.save_checkpoint(0, {"Recall": 0.0})
+    coach.train_epoch(1)  # donates (deletes) the buffers the save references
+    coach.ckpt.wait()
+
+    fresh = Coach(
+        copy.deepcopy(cfg), tiny_data, checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert fresh.restore_checkpoint() is not None
+    np.testing.assert_array_equal(
+        np.asarray(fresh.gcn_params["u_embs"]), saved_u
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(fresh.dn_params)[0]), saved_dn
+    )
+
+
 def test_fused_chunk_donates_state_carry(tiny_config, tiny_data):
     """The fused program donates params, moments, AND the edge-buffer carry;
     trajectory still matches a donation-off fused run."""
