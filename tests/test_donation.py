@@ -113,6 +113,29 @@ def test_async_save_then_donating_epoch(tiny_config, tiny_data, tmp_path):
     )
 
 
+def test_donation_effective_under_mesh(tiny_config, tiny_data):
+    """Donation must survive NamedSharding placement — a sharding mismatch
+    between a donated input and its output makes XLA fall back to a copy
+    (silently, with only a warning), which would quietly forfeit the memory
+    saving exactly where it matters most (the model-sharded catalog-wide
+    params). Assert the old buffers really die on a (4, 2) mesh, including
+    the model-axis-sharded i_embs."""
+    from diffmm_tpu.parallel import make_mesh
+
+    coach = Coach(
+        copy.deepcopy(tiny_config), tiny_data,
+        mesh=make_mesh(8, model_parallel=2),
+    )
+    coach.train_epoch(0)
+    old_u = coach.gcn_params["u_embs"]
+    old_i = coach.gcn_params["i_embs"]  # rides the model axis
+    old_dn = jax.tree.leaves(coach.dn_params)[0]
+    coach.train_epoch(1)
+    assert old_u.is_deleted()
+    assert old_i.is_deleted()
+    assert old_dn.is_deleted()
+
+
 def test_fused_chunk_donates_state_carry(tiny_config, tiny_data):
     """The fused program donates params, moments, AND the edge-buffer carry;
     trajectory still matches a donation-off fused run."""
