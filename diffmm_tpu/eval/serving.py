@@ -75,7 +75,16 @@ def recommend(
     if not 1 <= k <= item_num:
         raise ValueError(f"k must be in [1, {item_num}], got {k}")
     k_pad = min(1 << (k - 1).bit_length(), item_num)
-    variant = (id(index.u_final), users.shape, k_pad, bool(mask_seen), bool(approx))
+    # Warm/cold is decided by exactly what jax.jit keys its compile cache
+    # on — input shapes/dtypes + the static args — NOT index identity: a
+    # re-exported same-shape index hits the same compiled program, so it is
+    # warm from the first request, and the variant set is bounded by the
+    # number of distinct shapes a server ever sees (id()-based keys could
+    # alias a dropped index via CPython id reuse and grew per export).
+    variant = (
+        jax.tree.map(lambda a: (a.shape, str(a.dtype)), tuple(index)),
+        users.shape, str(users.dtype), k_pad, bool(mask_seen), bool(approx),
+    )
     if variant not in _compiled_variants:
         with _compile_lock:
             top_ids, top_scores = _recommend_compiled(

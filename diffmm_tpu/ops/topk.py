@@ -93,6 +93,8 @@ def plan_rebuild_buckets(
     """
     degrees = np.asarray(degrees, dtype=np.int64)
     n = len(degrees)
+    if n == 0:
+        raise ValueError("plan_rebuild_buckets: degrees is empty")
     order = np.argsort(-degrees, kind="stable").astype(np.int32)
     n_blocks = max(1, -(-n // batch))
     padded = np.empty(n_blocks * batch, dtype=np.int32)
@@ -101,10 +103,12 @@ def plan_rebuild_buckets(
     padded[n:] = order[-1]
     sorted_deg = np.zeros(n_blocks * batch, dtype=np.int64)
     sorted_deg[:n] = degrees[order]
-    block_max = sorted_deg.reshape(n_blocks, batch).max(axis=1)
-    # suffix maxima: first block index from which every block is "small"
-    suffix_max = np.maximum.accumulate(block_max[::-1])[::-1]
-    split = int(np.searchsorted(-suffix_max, -small_cap))  # suffix_max desc
+    # blocks are contiguous slices of the degree-DESCENDING sort, so each
+    # block's max is its first element and block_max is already
+    # non-increasing — searchsorted on it directly finds the first block
+    # whose every user (and every later block's) is "small"
+    block_max = sorted_deg.reshape(n_blocks, batch)[:, 0]
+    split = int(np.searchsorted(-block_max, -small_cap))  # block_max desc
 
     def width_for(max_deg: int) -> int:
         w = 1 << max(0, int(max_deg) - 1).bit_length()  # pow2 >= max_deg
@@ -113,9 +117,9 @@ def plan_rebuild_buckets(
     blocks = padded.reshape(n_blocks, batch)
     buckets: list[tuple[np.ndarray, int]] = []
     if split > 0:
-        buckets.append((blocks[:split], int(block_max[:split].max())))
+        buckets.append((blocks[:split], int(block_max[0])))
     if split < n_blocks:
-        buckets.append((blocks[split:], width_for(suffix_max[split])))
+        buckets.append((blocks[split:], width_for(block_max[split])))
     row_of_user = np.empty(n, dtype=np.int32)
     row_of_user[order] = np.arange(n, dtype=np.int32)
     row_starts, start = [], 0

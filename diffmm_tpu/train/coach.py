@@ -9,6 +9,7 @@ SURVEY.md §3.2/§3.4 — are all replaced by compiled static-shape programs).
 
 from __future__ import annotations
 
+import contextlib
 import time
 from functools import partial
 
@@ -343,6 +344,11 @@ class Coach:
             self.dn_opt_states = [tx.init(p) for p in self.dn_params]
         self.modal_adjs: list[BiAdj] | None = None
         self.edge_buffers: list[jax.Array] | None = None
+        # With train.donate_buffers, a dispatch that raises AFTER its inputs
+        # were donated (OOM, interrupt) leaves self.*_params/opt_states/
+        # edge_buffers pointing at deleted arrays; this flag turns the
+        # confusing downstream deleted-buffer error into an actionable one.
+        self._donated_state_lost = False
         # Best-epoch model capture (reference selects models by best test
         # Recall, `Main.py:71-78`, but never persists them): a host-side
         # snapshot of the GCN params + the epoch's rebuilt edge buffers —
@@ -363,6 +369,27 @@ class Coach:
         if seed is not None:
             self.config.base.seed = seed
         self._init_state()
+
+    # --------------------------------------------------------- donation guard
+    @contextlib.contextmanager
+    def _donation_guard(self):
+        """Mark Coach state invalid when a donating dispatch fails midway
+        (its argument buffers may already be deleted)."""
+        try:
+            yield
+        except BaseException:
+            if self.config.train.donate_buffers:
+                self._donated_state_lost = True
+            raise
+
+    def _check_state_valid(self) -> None:
+        if self._donated_state_lost:
+            raise RuntimeError(
+                "Coach state was donated to a dispatch that failed "
+                "(train.donate_buffers=true): params/opt-state/edge buffers "
+                "may reference deleted device arrays. Restore from a "
+                "checkpoint (restore_checkpoint) or reset() before reuse."
+            )
 
     # ------------------------------------------------------------------ keys
     def _next_key(self) -> jax.Array:
@@ -521,6 +548,7 @@ class Coach:
         unfenced "joint" number carried most of the rebuild's device time.
         Default off: production epochs should overlap; bench/profiling
         passes fence=True for attribution."""
+        self._check_state_valid()
         cfg = self.config
         data = self.data
         batch = cfg.train.batch
@@ -552,7 +580,7 @@ class Coach:
         weight_blocks = self._put_blocks(
             jnp.asarray(valid.astype(np.float32)).reshape(n_diff_blocks, batch)
         )
-        with self.timer.phase("diffusion"):
+        with self.timer.phase("diffusion"), self._donation_guard():
             self.dn_params, self.dn_opt_states, acc = self.steps.diffusion_epoch(
                 self.dn_params,
                 self.dn_opt_states,
@@ -623,7 +651,7 @@ class Coach:
         pos_ep = data.train_cols.take(perm_dev)
         neg_ep = negs.take(perm_dev)
         n_joint_blocks = len(perm_pad) // batch
-        with self.timer.phase("joint"):
+        with self.timer.phase("joint"), self._donation_guard():
             self.gcn_params, self.gcn_opt_state, acc = self.steps.joint_epoch(
                 self.gcn_params,
                 self.gcn_opt_state,
@@ -741,6 +769,7 @@ class Coach:
                 "epoch fusion requires the diffusion rebuild path "
                 "(hyper.use_knn_adj rebuilds nothing per epoch)"
             )
+        self._check_state_valid()
         host = self.host
         batch = cfg.train.batch
         idx, valid = _pad_blocks(host.user_num, batch)
@@ -825,7 +854,7 @@ class Coach:
 
         data = self.data
         eval_sums = best_recall = best_g = best_bufs = None
-        with self.timer.phase("fused"):
+        with self.timer.phase("fused"), self._donation_guard():
             common = (
                 self.key, self.dn_params, self.dn_opt_states, self.gcn_params,
                 self.gcn_opt_state, bufs0, data.raw_feats, data.train_dense,
@@ -975,6 +1004,7 @@ class Coach:
         additive over the reference, which never loads valMat.pkl
         (`DataHandler.py:30-31`) and selects models on test Recall.
         """
+        self._check_state_valid()
         assert self.ensure_modal_adjs() is not None, (
             "eval depends on the epoch's rebuilt modality graphs "
             "(reference Main.py:398-400); run train_epoch first"
@@ -1103,6 +1133,7 @@ class Coach:
 
     def save_checkpoint(self, epoch: int, best: dict[str, float]) -> None:
         assert self.ckpt is not None
+        self._check_state_valid()
         from diffmm_tpu.utils.checkpoint import key_to_list, rng_state_to_json
 
         self.ckpt.save(
@@ -1160,6 +1191,8 @@ class Coach:
                 ]
         self.key = key_from_list(aux["key"])
         self.np_rng = rng_state_from_json(aux["np_rng"])
+        # every piece of donated state has just been replaced from disk
+        self._donated_state_lost = False
         snap_epoch = aux.get("best_snapshot_epoch", -1)
         if snap_epoch >= 0:
             self.best_snapshot = {

@@ -250,7 +250,11 @@ def make_train_steps(
                 denoise_apply=rebuild_apply,
             )
             tables.append(
-                topk_table(denoised, k_table or k_max, train_cfg.rebuild_topk)
+                topk_table(
+                    denoised,
+                    k_table if k_table is not None else k_max,
+                    train_cfg.rebuild_topk,
+                )
             )
         return tuple(tables)
 

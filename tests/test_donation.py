@@ -162,3 +162,59 @@ def test_fused_chunk_donates_state_carry(tiny_config, tiny_data):
                 1.0, abs(float(ra[k]))
             ), (k, ra[k], rb[k])
     _tree_allclose(a.gcn_params, b.gcn_params)
+
+
+def test_failed_donating_dispatch_marks_state_invalid(tiny_config, tiny_data):
+    """If a donating dispatch raises midway (OOM/interrupt), Coach state may
+    reference already-deleted buffers; subsequent use must fail with an
+    actionable RuntimeError — not a confusing deleted-buffer error — and
+    reset()/restore must clear the condition (ADVICE r3)."""
+    import pytest
+
+    coach = Coach(copy.deepcopy(tiny_config), tiny_data)
+    coach.train_epoch(0)
+
+    boom = RuntimeError("simulated device OOM")
+
+    def failing_joint_epoch(*a, **k):
+        raise boom
+
+    orig_steps = coach.steps
+    coach.steps = coach.steps._replace(joint_epoch=failing_joint_epoch)
+    with pytest.raises(RuntimeError, match="simulated device OOM"):
+        coach.train_epoch(1)
+    coach.steps = orig_steps
+
+    for call in (
+        lambda: coach.train_epoch(2),
+        lambda: coach.test_epoch(),
+        lambda: coach.train_epochs_fused(2, 2),
+    ):
+        with pytest.raises(RuntimeError, match="donate"):
+            call()
+
+    coach.reset()
+    coach.train_epoch(0)  # fully usable again after reset
+    coach.test_epoch()
+
+
+def test_failed_dispatch_without_donation_stays_usable(tiny_config, tiny_data):
+    """With donate_buffers=false a failed dispatch loses nothing — the guard
+    must NOT mark state invalid."""
+    import pytest
+
+    cfg = copy.deepcopy(tiny_config)
+    cfg.train.donate_buffers = False
+    coach = Coach(cfg, tiny_data)
+    coach.train_epoch(0)
+
+    orig_steps = coach.steps
+    coach.steps = coach.steps._replace(
+        joint_epoch=lambda *a, **k: (_ for _ in ()).throw(RuntimeError("x"))
+    )
+    with pytest.raises(RuntimeError):
+        coach.train_epoch(1)
+    coach.steps = orig_steps
+
+    coach.train_epoch(1)  # state was never donated; training continues
+    coach.test_epoch()

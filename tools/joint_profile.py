@@ -92,9 +92,15 @@ def main(argv=None) -> int:
     p.add_argument("--reps", type=int, default=7,
                    help="outer repetitions (median taken)")
     p.add_argument("--data-root", default=None)
+    p.add_argument(
+        "--set", action="append", default=[], dest="overrides",
+        metavar="SECTION.KEY=VALUE",
+        help="config overrides, same spelling as the CLI/sweep/bench "
+        "(e.g. --set train.graph_form=sparse)",
+    )
     args = p.parse_args(argv)
 
-    from diffmm_tpu.config import load_config
+    from diffmm_tpu.config import apply_overrides, load_config
     from diffmm_tpu.data.loader import load_host_data
     from diffmm_tpu.models.gcn import gcn_mm
     from diffmm_tpu.ops.graph import spmm_bi
@@ -102,6 +108,8 @@ def main(argv=None) -> int:
     from diffmm_tpu.train.coach import Coach
 
     config = load_config(args.config)
+    if args.overrides:
+        apply_overrides(config, args.overrides)
     host = load_host_data(config, data_root=args.data_root)
     coach = Coach(config, host)
     coach.train_epoch(0)  # builds modal adjacencies; pays the big compiles
@@ -125,8 +133,11 @@ def main(argv=None) -> int:
     xu = jnp.asarray(rng.standard_normal((host.user_num, d), dtype=np.float32))
     xi = jnp.asarray(rng.standard_normal((host.item_num, d), dtype=np.float32))
 
-    if not coach.dense_graphs:
-        raise SystemExit("joint_profile targets the dense MXU form")
+    # sparse form: main graph uses both direction plans, modality graphs
+    # only the user-direction one (item layout is dynamic) — mirror
+    # steps.make_train_steps' wiring so the timed unit is the real one
+    main_segsum = coach.segsum_plans
+    modal_segsum = (coach.segsum_plans[0], None)
 
     K, R = args.inner, args.reps
 
@@ -140,17 +151,54 @@ def main(argv=None) -> int:
 
     # one propagation pass, forward
     def spmm_body(c):
-        u2, i2 = spmm_bi(adj, xu + c, xi + c)
+        u2, i2 = spmm_bi(adj, xu + c, xi + c, main_segsum)
         return probe_scalar((u2, i2))
 
     # one propagation pass, backward (squared-sum objective: a linear
     # functional's grad is input-independent and XLA folds it away)
     spmm_g = jax.grad(
-        lambda a, b: sum(jnp.sum(y * y) for y in spmm_bi(adj, a, b)), (0, 1)
+        lambda a, b: sum(
+            jnp.sum(y * y) for y in spmm_bi(adj, a, b, main_segsum)
+        ),
+        (0, 1),
     )
 
     def spmm_bwd_body(c):
         gu, gi = spmm_g(xu + c, xi + c)
+        return probe_scalar((gu, gi))
+
+    # sparse form only: the same pass on the XLA scatter path (no plans) and
+    # on a modality-shaped graph (dynamic item layout -> user plan only),
+    # isolating what the MXU segsum kernel buys per direction
+    def spmm_scatter_body(c):
+        u2, i2 = spmm_bi(adj, xu + c, xi + c, (None, None))
+        return probe_scalar((u2, i2))
+
+    spmm_scatter_g = jax.grad(
+        lambda a, b: sum(
+            jnp.sum(y * y) for y in spmm_bi(adj, a, b, (None, None))
+        ),
+        (0, 1),
+    )
+
+    def spmm_scatter_bwd_body(c):
+        gu, gi = spmm_scatter_g(xu + c, xi + c)
+        return probe_scalar((gu, gi))
+
+    def spmm_modal_body(c):
+        u2, i2 = spmm_bi(modal_adjs[0], xu + c, xi + c, modal_segsum)
+        return probe_scalar((u2, i2))
+
+    spmm_modal_g = jax.grad(
+        lambda a, b: sum(
+            jnp.sum(y * y)
+            for y in spmm_bi(modal_adjs[0], a, b, modal_segsum)
+        ),
+        (0, 1),
+    )
+
+    def spmm_modal_bwd_body(c):
+        gu, gi = spmm_modal_g(xu + c, xi + c)
         return probe_scalar((gu, gi))
 
     def fwd_body(c):
@@ -166,6 +214,8 @@ def main(argv=None) -> int:
             prm, adj, list(modal_adjs), data.raw_feats,
             modal_adj_weight=hp["modal_adj_weight"],
             residual_weight=hp["residual_weight"],
+            main_segsum=main_segsum,
+            modal_segsum=modal_segsum,
         )
         u_e = out.u_final.take(users, axis=0)
         rec = bpr_loss(u_e, out.i_final.take(pos, axis=0), out.i_final.take(neg, axis=0))
@@ -212,6 +262,7 @@ def main(argv=None) -> int:
     res = {
         "config": args.config,
         "backend": jax.default_backend(),
+        "graph_form": "dense" if coach.dense_graphs else "sparse",
         "dense_store": config.train.dense_store,
         "inner_iters": K,
         "dispatch_overhead_ms": round(dispatch_s * 1e3, 3),
@@ -223,8 +274,27 @@ def main(argv=None) -> int:
     }
     # derived: what CL + optimizer add on top of the plain BPR grad step
     res["cl_plus_adam_ms"] = round(res["joint_step_ms"] - res["joint_nocl_ms"], 3)
-    adj_bytes = host.user_num * host.item_num * coach.dense_store_bytes_per_cell
-    res["adj_pass_roofline_ms"] = round(adj_bytes / 819e9 * 1e3, 3)
+    if not coach.dense_graphs:
+        res["spmm_scatter_fwd_ms"] = round(amortized_ms(spmm_scatter_body), 3)
+        res["spmm_scatter_bwd_ms"] = round(
+            amortized_ms(spmm_scatter_bwd_body), 3
+        )
+        res["spmm_modal_fwd_ms"] = round(amortized_ms(spmm_modal_body), 3)
+        res["spmm_modal_bwd_ms"] = round(amortized_ms(spmm_modal_bwd_body), 3)
+        # bandwidth roofline of ONE sparse pass: both directions move the
+        # (nnz_pad, d) f32 message gather in + the reduced outputs out, plus
+        # the (U+I, d) inputs — the minimum HBM traffic of the operator
+        nnz_pad = int(adj.ui_rows.shape[0])
+        pass_bytes = (
+            2 * nnz_pad * d * 4  # two per-edge gathers (one per direction)
+            + 2 * (host.user_num + host.item_num) * d * 4  # in + out
+        )
+        res["sparse_pass_roofline_ms"] = round(pass_bytes / 819e9 * 1e3, 3)
+    else:
+        adj_bytes = (
+            host.user_num * host.item_num * coach.dense_store_bytes_per_cell
+        )
+        res["adj_pass_roofline_ms"] = round(adj_bytes / 819e9 * 1e3, 3)
     print(json.dumps(res))
     return 0
 
