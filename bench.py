@@ -119,8 +119,12 @@ def main() -> int:
     print(f"eval: {eval_s:.3f}s", file=sys.stderr, flush=True)
 
     # Sparse/segsum graph form (the web-scale path — guards the Pallas
-    # sorted-segment-sum kernels; BENCH_SPARSE=0 skips).
+    # sorted-segment-sum kernels; BENCH_SPARSE=0 skips). Measured at the
+    # same production treatment as the dense form: single epochs for
+    # attribution, then the fused epoch scan (one compiled program per E
+    # epochs) as the sparse headline row.
     sparse_epoch_s = None
+    sparse_fused_epoch_s = None
     if os.environ.get("BENCH_SPARSE", "1") != "0":
         import copy
 
@@ -136,6 +140,22 @@ def main() -> int:
             print(f"sparse epoch {ep}: {s_times[-1]:.2f}s", file=sys.stderr, flush=True)
         steady_s = sorted(s_times[1:]) if len(s_times) > 1 else s_times
         sparse_epoch_s = steady_s[len(steady_s) // 2]
+        sf_scan = int(os.environ.get("BENCH_SPARSE_FUSED", str(fused_scan or 10)))
+        if sf_scan > 1 and s_times[0] < 300.0:
+            ep0 = max(3, epochs // 2)
+            s_coach.train_epochs_fused(ep0, sf_scan)  # compile chunk
+            jax.block_until_ready(s_coach.gcn_params["u_embs"])
+            sf_times = []
+            for i in range(1, 4):
+                t0 = time.perf_counter()
+                s_coach.train_epochs_fused(ep0 + i * sf_scan, sf_scan)
+                jax.block_until_ready(s_coach.gcn_params["u_embs"])
+                sf_times.append((time.perf_counter() - t0) / sf_scan)
+                print(
+                    f"sparse fused chunk {i}: {sf_times[-1]:.3f}s/epoch "
+                    f"(scan={sf_scan})", file=sys.stderr, flush=True,
+                )
+            sparse_fused_epoch_s = sorted(sf_times)[len(sf_times) // 2]
 
     steady = sorted(times[1:]) if len(times) > 1 else times
     epoch_s = steady[len(steady) // 2]
@@ -210,6 +230,10 @@ def main() -> int:
                     "eval_seconds_median": round(eval_s, 3),
                     "sparse_epoch_seconds_median": (
                         round(sparse_epoch_s, 3) if sparse_epoch_s else None
+                    ),
+                    "sparse_fused_epoch_seconds_median": (
+                        round(sparse_fused_epoch_s, 3)
+                        if sparse_fused_epoch_s else None
                     ),
                     "baseline": "torch-CPU reference epoch (bench_baseline.json)",
                     "baseline_epoch_seconds": ref_epoch_s,
