@@ -155,6 +155,15 @@ class TrainConfig:
     # "identity" keeps the round-2 order for bit-exact continuity with
     # earlier checkpoints/trajectories.
     rebuild_order: str = "identity"
+    # Compute dtype of the sparse form's per-edge MESSAGES on the planned
+    # MXU reduction paths (sorted/rank-space/sharded segment-sum kernels).
+    # "bf16" rounds the gathered messages once and runs the one-hot dot at
+    # the MXU's bf16 rate with f32 accumulation — the SAME rounding policy
+    # the dense graph form applies to its embedding operand at every
+    # propagation matmul (ops/graph.py::_spmm_bi_dense), so sparse and
+    # dense share one precision story. The XLA-scatter fallback always
+    # accumulates f32. "f32" keeps the round-3 bit-exact kernels.
+    segsum_compute: str = "f32"
     # TPU-specific: number of consecutive training epochs fused into ONE
     # compiled program (a lax.scan over epochs). Each dispatch crosses the
     # host->device boundary (~28 ms round-trip over this environment's

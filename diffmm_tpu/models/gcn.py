@@ -107,12 +107,15 @@ def gcn_mm(
     residual_weight: float,
     main_segsum: tuple = (None, None),
     modal_segsum: tuple = (None, None),
+    segsum_compute: str = "f32",
 ) -> GCNOutput:
     """Multi-modal graph aggregation (reference `Model.py:60-134`).
 
     ``main_segsum``/``modal_segsum``: host-made static plans selecting the
     MXU sorted-segment-sum per propagation direction on the sparse graph
     form (see ops/graph.py::spmm_bi); no-ops on the dense form.
+    ``segsum_compute``: message dtype on those kernel paths ("bf16" = the
+    dense form's rounding policy; f32 accumulation either way).
     """
     u_embs = params["u_embs"]
     i_embs = params["i_embs"]
@@ -122,7 +125,10 @@ def gcn_mm(
     # Per-modality one-hop view over the rebuilt modality adjacency.
     modal_u, modal_i = [], []
     for m_adj, f in zip(modal_adjs, feats):
-        mu, mi = spmm_bi(m_adj, u_embs, l2_normalize(f, axis=1), modal_segsum)
+        mu, mi = spmm_bi(
+            m_adj, u_embs, l2_normalize(f, axis=1), modal_segsum,
+            segsum_compute,
+        )
         modal_u.append(mu)
         modal_i.append(mi)
     modal_u = jnp.stack(modal_u)  # (M, U, d)
@@ -130,14 +136,14 @@ def gcn_mm(
 
     # ID propagation over the main graph (identical per modality in the
     # reference; computed once here).
-    id_u, id_i = spmm_bi(adj, u_embs, i_embs, main_segsum)
+    id_u, id_i = spmm_bi(adj, u_embs, i_embs, main_segsum, segsum_compute)
 
     aware_u = id_u[None] + modal_adj_weight * modal_u  # (M, U, d)
     aware_i = id_i[None] + modal_adj_weight * modal_i
     fused_u = jnp.einsum("m,mud->ud", weight, aware_u)
     fused_i = jnp.einsum("m,mid->id", weight, aware_i)
 
-    hop_u, hop_i = spmm_bi(adj, fused_u, fused_i, main_segsum)
+    hop_u, hop_i = spmm_bi(adj, fused_u, fused_i, main_segsum, segsum_compute)
     # Reference `Model.py:129-131` with torch in-place aliasing semantics:
     # final = (1 + rw) * (fused + A@fused).
     final_u = (1.0 + residual_weight) * (fused_u + hop_u)

@@ -151,6 +151,7 @@ def spmm_bi(
     x_user: jax.Array,
     x_item: jax.Array,
     mxu_segsum: tuple = (None, None),
+    compute: str = "f32",
 ):
     """``y = D^-1/2 (A + I) D^-1/2 x`` on the split (user, item) embedding pair.
 
@@ -163,6 +164,9 @@ def spmm_bi(
     the one-hot-MXU sorted-segment-sum Pallas kernel
     (ops/pallas/segsum.py::make_segsum_plan, only valid for the static edge
     layout it was planned on); ``None`` -> the XLA scatter path.
+    ``compute="bf16"`` rounds the per-edge messages to bf16 on the kernel
+    paths (f32 accumulation) — the precision policy the dense form's MXU
+    matmuls already apply to the same operand.
 
     Returns ``(y_user, y_item)`` with the same shapes as the inputs.
     """
@@ -179,11 +183,11 @@ def spmm_bi(
         iu_cols = adj.ui_rows.take(adj.iu_perm)
         m_u = _propagate_sorted(
             z_i, adj.ui_rows, adj.ui_cols, adj.iu_perm, iu_rows,
-            adj.user_num, adj.item_num, u_plan, i_plan,
+            adj.user_num, adj.item_num, u_plan, i_plan, compute,
         )
         m_i = _propagate_sorted(
             z_u, iu_rows, iu_cols, adj.iu_inv, adj.ui_rows,
-            adj.item_num, adj.user_num, i_plan, u_plan,
+            adj.item_num, adj.user_num, i_plan, u_plan, compute,
         )
     else:
         # item -> user messages (edges already user-major sorted)
@@ -275,17 +279,26 @@ def build_dense_bi_adj_device(
 
 def _reduce_sorted(msgs, ids, n, plan):
     """Sorted segment reduction: host-planned MXU kernel (single-device
-    piecewise or mesh ``shard_map`` form, by plan type) or XLA scatter."""
+    piecewise, rank-space, or mesh ``shard_map`` form, by plan type) or XLA
+    scatter. Kernel forms accept bf16 messages and accumulate f32; the
+    scatter fallback promotes to f32 first (segment_sum accumulates in the
+    input dtype — bf16 accumulation would lose low bits per add)."""
     if plan is not None:
         from diffmm_tpu.ops.pallas.segsum import (
+            RankedSegsumPlan,
             ShardedSegsumPlan,
+            ranked_segment_sum,
             sharded_sorted_segment_sum,
             sorted_segment_sum_planned,
         )
 
         if isinstance(plan, ShardedSegsumPlan):
             return sharded_sorted_segment_sum(msgs, ids, n, plan)
+        if isinstance(plan, RankedSegsumPlan):
+            return ranked_segment_sum(msgs, ids, n, plan)
         return sorted_segment_sum_planned(msgs, ids, n, plan)
+    if msgs.dtype != jnp.float32:
+        msgs = msgs.astype(jnp.float32)
     return jax.ops.segment_sum(msgs, ids, num_segments=n, indices_are_sorted=True)
 
 
@@ -293,18 +306,28 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=None)
-def _get_propagator(n_out: int, n_src: int, fwd_plan, bwd_plan):
+def _get_propagator(n_out: int, n_src: int, fwd_plan, bwd_plan, compute: str):
     """One-direction edge propagation ``y[r] = sum_{rows[e]=r} z[cols[e]]``
     with a custom VJP: the gather's backward (normally an XLA scatter over
     nnz rows) is re-expressed as the SAME sorted reduction in the opposite
     ordering (``dz = reduce(ḡ[rows][perm] by cols-sorted)``), so neither
     pass contains a scatter when plans exist. Cached per static config so
-    jit retraces reuse one custom_vjp object."""
+    jit retraces reuse one custom_vjp object.
+
+    ``compute="bf16"``: round the per-edge messages to bf16 before the
+    gather (halving the (nnz, d) transient and running the kernel's one-hot
+    dot at the MXU's bf16 rate; accumulation stays f32). This is the SAME
+    rounding policy the dense graph form applies to its embedding operand
+    (`_spmm_bi_dense` casts z to bf16 at the matmul) — the backward rounds
+    the incoming cotangents symmetrically. ``z`` and the result stay f32 at
+    the boundary either way."""
     import numpy as onp
+
+    cast = (lambda a: a.astype(jnp.bfloat16)) if compute == "bf16" else (lambda a: a)
 
     @jax.custom_vjp
     def prop(z, rows, cols, perm, bwd_rows):
-        msgs = z.take(cols, axis=0)
+        msgs = cast(z).take(cols, axis=0)
         # sentinel pad lanes (rows == n_out) -> zero (OOB gathers fill NaN)
         msgs = jnp.where((rows < n_out)[:, None], msgs, 0.0)
         return _reduce_sorted(msgs, rows, n_out, fwd_plan)
@@ -314,7 +337,7 @@ def _get_propagator(n_out: int, n_src: int, fwd_plan, bwd_plan):
 
     def bwd(res, g):
         rows, cols, perm, bwd_rows = res
-        dmsgs = g.take(jnp.clip(rows, 0, n_out - 1), axis=0)
+        dmsgs = cast(g).take(jnp.clip(rows, 0, n_out - 1), axis=0)
         dmsgs = jnp.where((rows < n_out)[:, None], dmsgs, 0.0)
         dmsgs_s = dmsgs.take(perm, axis=0)
         dmsgs_s = jnp.where((bwd_rows < n_src)[:, None], dmsgs_s, 0.0)
@@ -329,8 +352,11 @@ def _get_propagator(n_out: int, n_src: int, fwd_plan, bwd_plan):
     return prop
 
 
-def _propagate_sorted(z, rows, cols, perm, bwd_rows, n_out, n_src, fwd_plan, bwd_plan):
-    return _get_propagator(n_out, n_src, fwd_plan, bwd_plan)(
+def _propagate_sorted(
+    z, rows, cols, perm, bwd_rows, n_out, n_src, fwd_plan, bwd_plan,
+    compute: str = "f32",
+):
+    return _get_propagator(n_out, n_src, fwd_plan, bwd_plan, compute)(
         z, rows, cols, perm, bwd_rows
     )
 

@@ -54,9 +54,11 @@ def _segsum_kernel(rows_ref, msgs_ref, out_ref, acc_ref, sem):
     u0 = rows[0]
     E = rows.shape[0]
     local = rows - u0  # in [0, E) for real edges; >= E for far-off pads
+    # one-hot entries are 0/1 — exact in the message dtype; bf16 messages
+    # run the dot at the MXU's bf16 rate (accumulation stays f32 below)
     onehot = (
         local[:, None] == jax.lax.broadcasted_iota(jnp.int32, (E, E), 1)
-    ).astype(jnp.float32)
+    ).astype(msgs_ref.dtype)
     partial = jax.lax.dot_general(
         onehot,
         msgs_ref[:, :],
@@ -403,6 +405,110 @@ def sharded_sorted_segment_sum(
         out_specs=P(),
         check_vma=False,
     )(msgs, seg_ids)
+
+
+class RankedSegsumPlan(NamedTuple):
+    """Host-made plan for the RANK-SPACE sorted-segment-sum: the reduction
+    that works on DYNAMIC sorted id layouts (the diffusion-rebuilt modality
+    graphs' item direction, reference `Main.py:195-253` — re-sorted on
+    device every epoch, so no host span check is possible).
+
+    Raw sorted ids can have gaps (items with zero incoming edges), so a
+    chunk of E edges may span more than E segment rows and the one-hot
+    window check of :func:`make_segsum_plan` needs the concrete ids. Ranks
+    — ``cumsum(id != previous id)`` — are gap-free by construction, so a
+    chunk of E sorted edges spans **at most E ranks by pigeonhole**: the
+    window invariant holds for EVERY sorted layout, no data inspection
+    needed. The reduction runs in rank space on the same MXU kernel; a
+    scatter-free ``searchsorted`` gather inverts ranks back to segment rows.
+
+    Fields:
+      pieces: static ``(edge_lo, edge_hi)`` ranges; each piece's rank span
+        is bounded by its edge count (pigeonhole again), VMEM-gated on host.
+      nnz: the static padded edge count the plan was made for.
+      chunk: kernel chunk (edges per one-hot MXU matmul).
+    """
+
+    pieces: tuple
+    nnz: int
+    chunk: int
+
+
+def make_ranked_plan(
+    nnz: int,
+    d: int,
+    chunk: int = 512,
+    max_edges_per_piece: int | None = None,
+):
+    """Plan the rank-space reduction for ANY sorted id layout of ``nnz``
+    (padded) edges — purely shape-based: rank spans are bounded by edge
+    counts, so no id data is needed (unlike :func:`make_segsum_plan`).
+    Returns None only when even a single chunk cannot fit VMEM."""
+    cap = max_segments_in_vmem(d, chunk) - chunk
+    if cap <= 0:
+        return None
+    if max_edges_per_piece is not None:
+        cap = min(cap, max_edges_per_piece)
+    pieces = tuple(
+        (lo, min(lo + cap, nnz)) for lo in range(0, max(nnz, 1), cap)
+    )
+    return RankedSegsumPlan(pieces=pieces, nnz=nnz, chunk=chunk)
+
+
+def ranked_segment_sum(
+    msgs: jax.Array,
+    seg_ids: jax.Array,
+    num_segments: int,
+    plan: RankedSegsumPlan,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """segment_sum for ASCENDING (possibly dynamic) ``seg_ids`` via the MXU
+    kernel in rank space. Exact for every sorted layout: ranks are dense,
+    so every kernel window invariant holds by pigeonhole.
+
+    Contract matches :func:`sorted_segment_sum`: out-of-range ids are
+    padding and their message rows MUST be zero (they receive ranks like
+    any other id, accumulate zeros, and are never read back — the
+    inversion only looks up ids < num_segments).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    nnz, d = msgs.shape
+    assert nnz == plan.nnz, (nnz, plan.nnz)
+    ids = seg_ids.astype(jnp.int32)
+    changed = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (ids[1:] != ids[:-1]).astype(jnp.int32)]
+    )
+    ranks = jnp.cumsum(changed) - 1  # (nnz,) dense, ascending, ranks[0] == 0
+    chunk = plan.chunk
+
+    if len(plan.pieces) == 1:
+        lo, hi = plan.pieces[0]
+        buf = sorted_segment_sum(
+            msgs, ranks, nnz + chunk, chunk, interpret
+        )
+    else:
+        # rank-space accumulator; pieces may share a boundary rank (one
+        # segment's edges straddling two pieces), so placements ADD via a
+        # slice read-modify-write at each piece's dynamic rank offset.
+        buf = jnp.zeros((nnz + chunk, d), jnp.float32)
+        for lo, hi in plan.pieces:
+            local_rows = (hi - lo) + chunk
+            r0 = ranks[lo]
+            out_l = sorted_segment_sum(
+                msgs[lo:hi], ranks[lo:hi] - r0, local_rows, chunk, interpret
+            )
+            cur = jax.lax.dynamic_slice(buf, (r0, 0), (local_rows, d))
+            buf = jax.lax.dynamic_update_slice(buf, cur + out_l, (r0, 0))
+
+    # invert rank -> segment row: first-occurrence position by binary
+    # search (vectorized, scatter-free); absent segments stay zero.
+    seg = jnp.arange(num_segments, dtype=jnp.int32)
+    pos = jnp.searchsorted(ids, seg)
+    pos_c = jnp.minimum(pos, nnz - 1)
+    found = ids[pos_c] == seg
+    out = buf.take(ranks[pos_c], axis=0)
+    return jnp.where(found[:, None], out, 0.0)
 
 
 def spans_fit(ids_sorted, num_segments: int, chunk: int = 512) -> bool:

@@ -233,10 +233,12 @@ class Coach:
             jnp.asarray(a) for a in (u_of_pos, lane_of_pos, pad_mask)
         )
         self.segsum_plans = self._segsum_gate()
+        self.modal_item_plan = self._ranked_gate()
         self.steps = make_train_steps(
             config, self.schedule, self.n_modal, host.k_max,
             segsum_plans=self.segsum_plans,
             rebuild_plan=self.rebuild_plan,
+            modal_item_plan=self.modal_item_plan,
         )
         if config.train.epoch_scan < 1:
             raise ValueError(
@@ -490,6 +492,38 @@ class Coach:
                 f"{f'/{len(i_plan)} tiles' if i_plan else ''})"
             )
         return (u_plan, i_plan)
+
+    def _ranked_gate(self):
+        """Host-made rank-space plan for the modality graphs' ITEM
+        direction — the one propagation direction no static plan can cover
+        (the diffusion rebuild re-picks each user's items every epoch, so
+        the item-major layout is dynamic; reference `Main.py:195-253`).
+        The rank-space reduction (ops/pallas/segsum.py::RankedSegsumPlan)
+        is exact for EVERY sorted layout by pigeonhole, so it only needs
+        the static padded edge count. Single-device only for now — mesh
+        runs keep the XLA scatter on this direction (the sharded plan's
+        uniform-window contract would need per-shard rank offsets)."""
+        import os
+
+        mode = os.environ.get("DIFFMM_SEGSUM")
+        if self.dense_graphs or mode == "xla" or self.mesh is not None:
+            return None
+        if jax.default_backend() in ("cpu",) and mode != "mxu":
+            return None
+        from diffmm_tpu.data.loader import pad_edges
+        from diffmm_tpu.ops.pallas.segsum import make_ranked_plan
+
+        host = self.host
+        rows_p, _ = pad_edges(
+            host.train_rows, host.train_cols, host.user_num, host.item_num
+        )
+        plan = make_ranked_plan(len(rows_p), self.config.base.latdim)
+        if plan is not None:
+            self.log.info(
+                "Sparse SpMM: rank-space MXU reduction for the rebuilt "
+                f"modality item direction ({len(plan.pieces)} pieces)"
+            )
+        return plan
 
     def _knn_adjs(self) -> list:
         """Modality graphs from the KNN ablation (static per run — depend

@@ -60,12 +60,15 @@ def make_train_steps(
     k_max: int,
     segsum_plans: tuple = (None, None),
     rebuild_plan=None,
+    modal_item_plan=None,
 ) -> TrainSteps:
     """``segsum_plans = (user_dir_plan, item_dir_plan)``: host-made plans for
     the MXU sorted-segment-sum on the sparse graph form (None = XLA scatter).
     The user direction applies to every graph (rebuilt modality graphs share
-    the train rows); the item direction only to the static main graph
-    (rebuilt item ids are dynamic, so their layout cannot be planned).
+    the train rows); the static item plan only to the main graph.
+    ``modal_item_plan``: rank-space plan covering the rebuilt modality
+    graphs' DYNAMIC item layout (exact by pigeonhole — see
+    ops/pallas/segsum.py::RankedSegsumPlan).
 
     ``rebuild_plan`` (ops.topk.RebuildBucketPlan, from
     ``train.rebuild_order="degree"``): static degree-descending bucket
@@ -80,10 +83,20 @@ def make_train_steps(
         )
     tx = make_adam()
     main_segsum = segsum_plans
+    segsum_compute = train_cfg.segsum_compute
+    if segsum_compute not in ("f32", "bf16"):
+        raise ValueError(
+            f"train.segsum_compute must be f32|bf16, got {segsum_compute!r}"
+        )
     # KNN-ablation modality graphs have a user_num*knn_topk edge layout, NOT
     # the train layout the plans were made for — slicing with train-layout
-    # boundaries would silently drop edges.
-    modal_segsum = (None, None) if hyper.use_knn_adj else (segsum_plans[0], None)
+    # boundaries would silently drop edges. The item direction takes the
+    # rank-space plan (exact on the DYNAMIC rebuilt item layout — see
+    # coach._ranked_gate); None keeps the XLA scatter.
+    modal_segsum = (
+        (None, None) if hyper.use_knn_adj
+        else (segsum_plans[0], modal_item_plan)
+    )
 
     # Denoiser forward for the NO-GRAD reverse-sampling path (phase 2). The
     # fused Pallas kernel has no VJP, so the diffusion-training path always
@@ -356,7 +369,7 @@ def make_train_steps(
         keys = jax.random.split(key, 6)
         for k in range(3):
             if k > 0:
-                ju, ji = spmm_bi(adj, ju, ji, main_segsum)
+                ju, ji = spmm_bi(adj, ju, ji, main_segsum, segsum_compute)
             noise_u = jax.random.uniform(keys[2 * k], ju.shape, dtype=ju.dtype)
             noise_i = jax.random.uniform(keys[2 * k + 1], ji.shape, dtype=ji.dtype)
             ju = ju + jnp.sign(ju) * l2_normalize(noise_u, axis=1) * hp["noise_degree"]
@@ -402,6 +415,7 @@ def make_train_steps(
                 residual_weight=hp["residual_weight"],
                 main_segsum=main_segsum,
                 modal_segsum=modal_segsum,
+                segsum_compute=segsum_compute,
             )
             u_e = out.u_final.take(users, axis=0)
             pos_e = out.i_final.take(pos_items, axis=0)
@@ -462,6 +476,7 @@ def make_train_steps(
             residual_weight=hp["residual_weight"],
             main_segsum=main_segsum,
             modal_segsum=modal_segsum,
+            segsum_compute=segsum_compute,
         )
         return out.u_final, out.i_final
 

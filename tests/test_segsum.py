@@ -116,6 +116,90 @@ def test_gate_on_real_shaped_edges(tiny_data):
     assert spans_fit(np.sort(cols_p), tiny_data.item_num)
 
 
+# -------------------------------------------------------------- ranked form
+
+def test_ranked_matches_segment_sum_with_gaps(rng):
+    """Rank-space reduction == segment_sum for sorted ids WITH GAPS — the
+    layout class (dynamic rebuilt modality item ids) the raw-id window
+    check cannot admit."""
+    from diffmm_tpu.ops.pallas.segsum import make_ranked_plan, ranked_segment_sum
+
+    num_segments = 50_000  # huge id space, tiny edge count -> massive gaps
+    ids = np.sort(rng.choice(num_segments, 2000, replace=False)).astype(np.int32)
+    ids = np.repeat(ids, rng.integers(1, 4, 2000))[:4096]
+    msgs = rng.standard_normal((len(ids), 8)).astype(np.float32)
+    plan = make_ranked_plan(len(ids), d=8, chunk=128)
+    assert plan is not None
+    got = np.asarray(
+        ranked_segment_sum(
+            jnp.asarray(msgs), jnp.asarray(ids), num_segments, plan,
+            interpret=True,
+        )
+    )
+    want = np.asarray(
+        jax.ops.segment_sum(
+            jnp.asarray(msgs), jnp.asarray(ids), num_segments=num_segments
+        )
+    )
+    assert got.shape == (num_segments, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ranked_multi_piece_and_sentinels(rng):
+    """Pieces straddling a segment's edge run must ADD their partials; the
+    sentinel tail (id == num_segments, zero msgs) contributes nothing."""
+    from diffmm_tpu.ops.pallas.segsum import make_ranked_plan, ranked_segment_sum
+
+    num_segments = 300
+    real = np.sort(rng.integers(0, num_segments, 900)).astype(np.int32)
+    ids = np.concatenate([real, np.full(124, num_segments, np.int32)])
+    msgs = rng.standard_normal((1024, 8)).astype(np.float32)
+    msgs[900:] = 0.0
+    plan = make_ranked_plan(len(ids), d=8, chunk=64, max_edges_per_piece=200)
+    assert plan is not None and len(plan.pieces) >= 5
+    got = np.asarray(
+        ranked_segment_sum(
+            jnp.asarray(msgs), jnp.asarray(ids), num_segments, plan,
+            interpret=True,
+        )
+    )
+    want = np.asarray(
+        jax.ops.segment_sum(
+            jnp.asarray(msgs[:900]), jnp.asarray(real), num_segments=num_segments
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ranked_plan_in_sparse_coach(tiny_config, tiny_data, monkeypatch):
+    """The sparse Coach must plan the rank-space reduction for the rebuilt
+    modality item direction and keep the scatter trajectory (tolerance —
+    the MXU accumulates in a different association order)."""
+    import copy
+
+    from diffmm_tpu.train.coach import Coach
+
+    cfg = copy.deepcopy(tiny_config)
+    cfg.train.graph_form = "sparse"
+
+    monkeypatch.setenv("DIFFMM_SEGSUM", "mxu")
+    c_mxu = Coach(copy.deepcopy(cfg), tiny_data)
+    assert c_mxu.modal_item_plan is not None, "modal item direction unplanned"
+    r_mxu = c_mxu.train_epoch(0)
+    e_mxu = c_mxu.test_epoch()
+
+    monkeypatch.setenv("DIFFMM_SEGSUM", "xla")
+    c_xla = Coach(copy.deepcopy(cfg), tiny_data)
+    assert c_xla.modal_item_plan is None
+    r_xla = c_xla.train_epoch(0)
+    e_xla = c_xla.test_epoch()
+
+    for k in r_xla:
+        np.testing.assert_allclose(r_mxu[k], r_xla[k], rtol=2e-4, atol=2e-5)
+    for k in e_xla:
+        np.testing.assert_allclose(e_mxu[k], e_xla[k], rtol=2e-4, atol=2e-5)
+
+
 # ---------------------------------------------------------------- mesh form
 
 def _mesh8(model=2):

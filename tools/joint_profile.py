@@ -137,7 +137,7 @@ def main(argv=None) -> int:
     # only the user-direction one (item layout is dynamic) — mirror
     # steps.make_train_steps' wiring so the timed unit is the real one
     main_segsum = coach.segsum_plans
-    modal_segsum = (coach.segsum_plans[0], None)
+    modal_segsum = (coach.segsum_plans[0], coach.modal_item_plan)
 
     K, R = args.inner, args.reps
 
