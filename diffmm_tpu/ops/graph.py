@@ -62,6 +62,14 @@ class BiAdj(NamedTuple):
     # iu_perm up to ties) — used by the MXU-segsum custom VJP to run the
     # backward reduction sorted as well
     iu_inv: jax.Array | None = None
+    # rank-space machinery for the ITEM-major layout (segsum.make_rank_aux:
+    # per-edge dense ranks + rank->item inversion), hoisted here because it
+    # is fixed per adjacency but consumed by every rank-space reduction in
+    # the epoch (~0.43 + 1.13 ms per call on v5e/tiktok if recomputed
+    # inline). Built on request (build_bi_adj_device(with_rank_aux=True))
+    # for the diffusion-rebuilt modality graphs, whose dynamic item layout
+    # only the rank-space plan can cover.
+    rank_aux: Any = None
 
     @property
     def nnz(self) -> int:
@@ -116,6 +124,7 @@ def build_bi_adj_device(
     user_num: int,
     item_num: int,
     rows_sorted: bool = True,
+    with_rank_aux: bool = False,
 ) -> BiAdj:
     """Build a :class:`BiAdj` from device-resident edges (epoch graph rebuild).
 
@@ -136,6 +145,11 @@ def build_bi_adj_device(
     s_item = jax.lax.rsqrt(deg_i + 1.0)
     iu_perm = jnp.argsort(ui_cols).astype(jnp.int32)
     iu_inv = jnp.argsort(iu_perm).astype(jnp.int32)
+    rank_aux = None
+    if with_rank_aux:
+        from diffmm_tpu.ops.pallas.segsum import make_rank_aux
+
+        rank_aux = make_rank_aux(ui_cols.take(iu_perm), item_num)
     return BiAdj(
         ui_rows=ui_rows.astype(jnp.int32),
         ui_cols=ui_cols.astype(jnp.int32),
@@ -143,6 +157,7 @@ def build_bi_adj_device(
         s_user=s_user,
         s_item=s_item,
         iu_inv=iu_inv,
+        rank_aux=rank_aux,
     )
 
 
@@ -181,13 +196,21 @@ def spmm_bi(
         # XLA scatter appears in either pass.
         iu_rows = adj.ui_cols.take(adj.iu_perm)
         iu_cols = adj.ui_rows.take(adj.iu_perm)
+        # reductions BY the item-major layout (m_u's backward, m_i's
+        # forward) take the adjacency's hoisted rank machinery when their
+        # plan is rank-space (None aux -> computed inline, still exact)
+        from diffmm_tpu.ops.pallas.segsum import RankedSegsumPlan as _RSP
+
+        i_aux = adj.rank_aux if isinstance(i_plan, _RSP) else None
         m_u = _propagate_sorted(
             z_i, adj.ui_rows, adj.ui_cols, adj.iu_perm, iu_rows,
             adj.user_num, adj.item_num, u_plan, i_plan, compute,
+            bwd_aux=i_aux,
         )
         m_i = _propagate_sorted(
             z_u, iu_rows, iu_cols, adj.iu_inv, adj.ui_rows,
             adj.item_num, adj.user_num, i_plan, u_plan, compute,
+            fwd_aux=i_aux,
         )
     else:
         # item -> user messages (edges already user-major sorted)
@@ -277,7 +300,7 @@ def build_dense_bi_adj_device(
     )
 
 
-def _reduce_sorted(msgs, ids, n, plan):
+def _reduce_sorted(msgs, ids, n, plan, aux=None):
     """Sorted segment reduction: host-planned MXU kernel (single-device
     piecewise, rank-space, or mesh ``shard_map`` form, by plan type) or XLA
     scatter. Kernel forms accept bf16 messages and accumulate f32; the
@@ -295,7 +318,7 @@ def _reduce_sorted(msgs, ids, n, plan):
         if isinstance(plan, ShardedSegsumPlan):
             return sharded_sorted_segment_sum(msgs, ids, n, plan)
         if isinstance(plan, RankedSegsumPlan):
-            return ranked_segment_sum(msgs, ids, n, plan)
+            return ranked_segment_sum(msgs, ids, n, plan, aux=aux)
         return sorted_segment_sum_planned(msgs, ids, n, plan)
     if msgs.dtype != jnp.float32:
         msgs = msgs.astype(jnp.float32)
@@ -326,27 +349,33 @@ def _get_propagator(n_out: int, n_src: int, fwd_plan, bwd_plan, compute: str):
     cast = (lambda a: a.astype(jnp.bfloat16)) if compute == "bf16" else (lambda a: a)
 
     @jax.custom_vjp
-    def prop(z, rows, cols, perm, bwd_rows):
+    def prop(z, rows, cols, perm, bwd_rows, fwd_aux, bwd_aux):
         msgs = cast(z).take(cols, axis=0)
         # sentinel pad lanes (rows == n_out) -> zero (OOB gathers fill NaN)
         msgs = jnp.where((rows < n_out)[:, None], msgs, 0.0)
-        return _reduce_sorted(msgs, rows, n_out, fwd_plan)
+        return _reduce_sorted(msgs, rows, n_out, fwd_plan, fwd_aux)
 
-    def fwd(z, rows, cols, perm, bwd_rows):
-        return prop(z, rows, cols, perm, bwd_rows), (rows, cols, perm, bwd_rows)
+    def fwd(z, rows, cols, perm, bwd_rows, fwd_aux, bwd_aux):
+        return (
+            prop(z, rows, cols, perm, bwd_rows, fwd_aux, bwd_aux),
+            (rows, cols, perm, bwd_rows, fwd_aux, bwd_aux),
+        )
 
     def bwd(res, g):
-        rows, cols, perm, bwd_rows = res
+        rows, cols, perm, bwd_rows, fwd_aux, bwd_aux = res
         dmsgs = cast(g).take(jnp.clip(rows, 0, n_out - 1), axis=0)
         dmsgs = jnp.where((rows < n_out)[:, None], dmsgs, 0.0)
         dmsgs_s = dmsgs.take(perm, axis=0)
         dmsgs_s = jnp.where((bwd_rows < n_src)[:, None], dmsgs_s, 0.0)
-        dz = _reduce_sorted(dmsgs_s, bwd_rows, n_src, bwd_plan)
+        dz = _reduce_sorted(dmsgs_s, bwd_rows, n_src, bwd_plan, bwd_aux)
 
         def f0(a):
-            return onp.zeros(a.shape, dtype=jax.dtypes.float0)
+            return onp.zeros(onp.shape(a), dtype=jax.dtypes.float0)
 
-        return dz, f0(rows), f0(cols), f0(perm), f0(bwd_rows)
+        return (
+            dz, f0(rows), f0(cols), f0(perm), f0(bwd_rows),
+            jax.tree.map(f0, fwd_aux), jax.tree.map(f0, bwd_aux),
+        )
 
     prop.defvjp(fwd, bwd)
     return prop
@@ -354,10 +383,10 @@ def _get_propagator(n_out: int, n_src: int, fwd_plan, bwd_plan, compute: str):
 
 def _propagate_sorted(
     z, rows, cols, perm, bwd_rows, n_out, n_src, fwd_plan, bwd_plan,
-    compute: str = "f32",
+    compute: str = "f32", fwd_aux=None, bwd_aux=None,
 ):
     return _get_propagator(n_out, n_src, fwd_plan, bwd_plan, compute)(
-        z, rows, cols, perm, bwd_rows
+        z, rows, cols, perm, bwd_rows, fwd_aux, bwd_aux
     )
 
 

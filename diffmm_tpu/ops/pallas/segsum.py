@@ -42,6 +42,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Accumulator-window alignment granularity. The per-chunk read-modify-write
+# of the VMEM scratch at a DYNAMIC row offset is the kernel's dominant cost
+# when the offset is arbitrary: Mosaic lowers unaligned dynamic sublane
+# slices through a shift path (measured 4.3 µs/chunk — ~78% of the whole
+# kernel at tiktok shape). Rounding the window start down to a 128-row
+# boundary widens the one-hot by 128 lanes but turns the slice into an
+# aligned access: measured 0.567 -> 0.122 ms per reduction (4.6x) at
+# nnz=59904, d=64, chunk=512 on v5e. 8-row (sublane-tile) alignment is NOT
+# sufficient — measured no speedup; 128 is the first granularity on the
+# fast path.
+_WINDOW_ALIGN = 128
+
+
 def _segsum_kernel(rows_ref, msgs_ref, out_ref, acc_ref, sem):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -51,22 +64,28 @@ def _segsum_kernel(rows_ref, msgs_ref, out_ref, acc_ref, sem):
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     rows = rows_ref[:, 0]  # (E,) sorted segment ids of this chunk
-    u0 = rows[0]
     E = rows.shape[0]
-    local = rows - u0  # in [0, E) for real edges; >= E for far-off pads
-    # one-hot entries are 0/1 — exact in the message dtype; bf16 messages
-    # run the dot at the MXU's bf16 rate (accumulation stays f32 below)
+    u0 = (rows[0] >> 7) << 7  # window start, _WINDOW_ALIGN-aligned
+    W = E + _WINDOW_ALIGN
+    local = rows - u0  # in [0, W) for real edges; >= W for far-off pads
+    # Precision note (measured on v5e): the MXU lowers this f32 dot through
+    # its bf16 pipeline, so messages are bf16-rounded with f32 accumulation
+    # — identical to a segment_sum over bf16-rounded inputs, and the same
+    # rounding policy the dense graph form applies to its embedding operand.
+    # Interpret mode (CPU tests) computes exact f32. Explicitly casting the
+    # inputs to bf16 here measured SLOWER (0.171 vs 0.122 ms — the convert
+    # op costs more than it saves), so the cast is left to the MXU.
     onehot = (
-        local[:, None] == jax.lax.broadcasted_iota(jnp.int32, (E, E), 1)
+        local[:, None] == jax.lax.broadcasted_iota(jnp.int32, (E, W), 1)
     ).astype(msgs_ref.dtype)
     partial = jax.lax.dot_general(
         onehot,
         msgs_ref[:, :],
-        (((0,), (0,)), ((), ())),  # onehotᵀ @ msgs -> (E, d)
+        (((0,), (0,)), ((), ())),  # onehotᵀ @ msgs -> (W, d)
         preferred_element_type=jnp.float32,
     )
-    cur = acc_ref[pl.ds(u0, E), :]
-    acc_ref[pl.ds(u0, E), :] = cur + partial
+    cur = acc_ref[pl.ds(u0, W), :]
+    acc_ref[pl.ds(u0, W), :] = cur + partial
 
     @pl.when(c == nc - 1)
     def _():
@@ -92,10 +111,10 @@ def _sorted_segment_sum_impl(
         seg_ids.astype(jnp.int32), (0, nnz_p - nnz),
         constant_values=num_segments,
     ).reshape(nnz_p, 1)
-    # accumulator over-allocated by one chunk so the dynamic slice never
-    # clamps real rows; pad-chunk contributions land in the tail and are
-    # dropped
-    out_rows = _round_up(num_segments + chunk, 8)
+    # accumulator over-allocated by one (aligned) window so the dynamic
+    # slice never clamps real rows; pad-chunk contributions land in the
+    # tail and are dropped
+    out_rows = _round_up(num_segments + chunk + _WINDOW_ALIGN, 8)
     # Mosaic's default scoped-VMEM limit caps scratch at ~15.5 MB
     # (lane-padded); raise it to this call's measured footprint so the
     # accumulator can use the chip's full VMEM (see segsum_fits_vmem)
@@ -119,7 +138,7 @@ def _sorted_segment_sum_impl(
             vmem_limit_bytes=min(vmem_limit, 110 * 1024 * 1024),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nnz_p * chunk * d,
+            flops=2 * nnz_p * (chunk + _WINDOW_ALIGN) * d,
             bytes_accessed=nnz_p * (d + 1) * 4 + out_rows * d * 4,
             transcendentals=0,
         ),
@@ -177,10 +196,10 @@ sorted_segment_sum.defvjp(_ssum_fwd, _ssum_bwd)
 def _segsum_vmem_bytes(out_rows: int, d: int, chunk: int) -> int:
     """Lane-padded VMEM footprint of one kernel call: the f32 accumulator
     scratch pads its last dim to the 128-lane tile width, plus
-    double-buffered chunk inputs and the (chunk, chunk) one-hot."""
+    double-buffered chunk inputs and the (chunk, chunk+align) one-hot."""
     acc_bytes = out_rows * _round_up(d, 128) * 4
     chunk_bytes = 2 * chunk * (_round_up(d, 128) * 4 + 128 * 4)
-    return acc_bytes + chunk_bytes + chunk * chunk * 4
+    return acc_bytes + chunk_bytes + chunk * (chunk + _WINDOW_ALIGN) * 4
 
 
 def segsum_fits_vmem(num_segments: int, d: int, chunk: int = 512) -> bool:
@@ -191,7 +210,7 @@ def segsum_fits_vmem(num_segments: int, d: int, chunk: int = 512) -> bool:
     was the Mosaic *default* scoped limit on scratch, not a pipeline
     doubling — lifted by the explicit limit.) Net: num_segments <= ~163k
     rows at d<=128."""
-    out_rows = _round_up(num_segments + chunk, 8)
+    out_rows = _round_up(num_segments + chunk + _WINDOW_ALIGN, 8)
     return _segsum_vmem_bytes(out_rows, d, chunk) <= 84 * 1024 * 1024
 
 
@@ -455,12 +474,39 @@ def make_ranked_plan(
     return RankedSegsumPlan(pieces=pieces, nnz=nnz, chunk=chunk)
 
 
+def make_rank_aux(seg_ids: jax.Array, num_segments: int) -> tuple:
+    """Precompute the rank-space machinery for a sorted id layout:
+    ``(ranks, seg_rank, seg_found)`` — the per-edge dense ranks, each
+    segment row's rank (clipped), and whether the segment occurs at all.
+
+    The layout is FIXED once an epoch's adjacency is built, while the
+    reduction runs ~hundreds of times per epoch inside the joint scan
+    (forward + backward of every propagation), so Coach hoists this onto
+    the adjacency (``BiAdj.rank_aux``) — measured 0.43 ms (cumsum) +
+    1.13 ms (searchsorted) per call on v5e/tiktok when computed inline,
+    several times the kernel itself. Jittable; runs inside the epoch's
+    adjacency-build program."""
+    ids = seg_ids.astype(jnp.int32)
+    nnz = ids.shape[0]
+    changed = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (ids[1:] != ids[:-1]).astype(jnp.int32)]
+    )
+    ranks = jnp.cumsum(changed) - 1  # (nnz,) dense, ascending, ranks[0] == 0
+    seg = jnp.arange(num_segments, dtype=jnp.int32)
+    pos = jnp.searchsorted(ids, seg)  # first occurrence per segment
+    pos_c = jnp.minimum(pos, nnz - 1)
+    seg_found = ids[pos_c] == seg
+    seg_rank = ranks[pos_c]
+    return ranks, seg_rank, seg_found
+
+
 def ranked_segment_sum(
     msgs: jax.Array,
     seg_ids: jax.Array,
     num_segments: int,
     plan: RankedSegsumPlan,
     interpret: bool | None = None,
+    aux: tuple | None = None,
 ) -> jax.Array:
     """segment_sum for ASCENDING (possibly dynamic) ``seg_ids`` via the MXU
     kernel in rank space. Exact for every sorted layout: ranks are dense,
@@ -470,16 +516,17 @@ def ranked_segment_sum(
     padding and their message rows MUST be zero (they receive ranks like
     any other id, accumulate zeros, and are never read back — the
     inversion only looks up ids < num_segments).
+
+    ``aux``: optional :func:`make_rank_aux` result for this exact id
+    layout (hoisted per-epoch by the caller); None computes it inline.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     nnz, d = msgs.shape
     assert nnz == plan.nnz, (nnz, plan.nnz)
-    ids = seg_ids.astype(jnp.int32)
-    changed = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (ids[1:] != ids[:-1]).astype(jnp.int32)]
+    ranks, seg_rank, seg_found = (
+        aux if aux is not None else make_rank_aux(seg_ids, num_segments)
     )
-    ranks = jnp.cumsum(changed) - 1  # (nnz,) dense, ascending, ranks[0] == 0
     chunk = plan.chunk
 
     if len(plan.pieces) == 1:
@@ -501,14 +548,10 @@ def ranked_segment_sum(
             cur = jax.lax.dynamic_slice(buf, (r0, 0), (local_rows, d))
             buf = jax.lax.dynamic_update_slice(buf, cur + out_l, (r0, 0))
 
-    # invert rank -> segment row: first-occurrence position by binary
-    # search (vectorized, scatter-free); absent segments stay zero.
-    seg = jnp.arange(num_segments, dtype=jnp.int32)
-    pos = jnp.searchsorted(ids, seg)
-    pos_c = jnp.minimum(pos, nnz - 1)
-    found = ids[pos_c] == seg
-    out = buf.take(ranks[pos_c], axis=0)
-    return jnp.where(found[:, None], out, 0.0)
+    # invert rank -> segment row (precomputed first-occurrence binary
+    # search); absent segments stay zero.
+    out = buf.take(seg_rank, axis=0)
+    return jnp.where(seg_found[:, None], out, 0.0)
 
 
 def spans_fit(ids_sorted, num_segments: int, chunk: int = 512) -> bool:

@@ -41,7 +41,8 @@ from diffmm_tpu.utils.logging import Log
 from diffmm_tpu.utils.profiling import PhaseTimer
 
 _build_adj_jit = partial(
-    jax.jit, static_argnames=("user_num", "item_num", "rows_sorted")
+    jax.jit,
+    static_argnames=("user_num", "item_num", "rows_sorted", "with_rank_aux"),
 )(build_bi_adj_device)
 _build_dense_adj_jit = partial(
     jax.jit, static_argnames=("user_num", "item_num", "rows_sorted", "store_dtype")
@@ -551,9 +552,13 @@ class Coach:
                 store_dtype=self.dense_store_dtype,
             )
         else:
+            # rank machinery hoisted onto the adjacency whenever the
+            # rank-space plan will consume it (fixed per build, read by
+            # every reduction of the epoch's joint scan)
             adj = _build_adj_jit(
                 rows, cols, user_num=self.host.user_num,
                 item_num=self.host.item_num,
+                with_rank_aux=self.modal_item_plan is not None,
             )
         if self.mesh is not None and self.dense_graphs:
             from diffmm_tpu.parallel.sharding import (
@@ -746,9 +751,12 @@ class Coach:
 
         user_num, item_num = self.host.user_num, self.host.item_num
         if not self.dense_graphs:
+            with_aux = self.modal_item_plan is not None
+
             def build(rows, cols):
                 return build_bi_adj_device(
-                    rows, cols, user_num=user_num, item_num=item_num
+                    rows, cols, user_num=user_num, item_num=item_num,
+                    with_rank_aux=with_aux,
                 )
             return build
 
