@@ -23,8 +23,9 @@ import jax.numpy as jnp
 from diffmm_tpu.eval.serving import RecIndex, load_index, recommend
 
 
-def make_handler(index: RecIndex, approx: bool = False):
-    user_num, item_num = index.train_dense.shape
+def make_handler(index: RecIndex, approx: bool = False, mesh=None):
+    user_num = index.u_final.shape[0]
+    item_num = index.i_final.shape[0]
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
@@ -63,7 +64,7 @@ def make_handler(index: RecIndex, approx: bool = False):
                 )
             ids, scores = recommend(
                 index, jnp.asarray([user], dtype=jnp.int32), k, mask_seen,
-                approx=approx,
+                approx=approx, mesh=mesh,
             )
             return self._send(
                 200,
@@ -88,6 +89,12 @@ def main(argv=None) -> int:
         "of exact top-k; pays off on very large catalogs",
     )
     parser.add_argument(
+        "--model-shards", type=int, default=1, metavar="M",
+        help="serve the catalog column-sharded over M devices (exact "
+        "distributed top-k per request; requires M | item_num and M | "
+        "device count)",
+    )
+    parser.add_argument(
         "--warmup", default=None, metavar="K1,K2,...",
         help="pre-compile the serving programs for these k values before "
         "accepting requests (e.g. --warmup 10,20,100); no live request "
@@ -95,17 +102,30 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
-    index = load_index(args.index)
+    mesh = None
+    if args.model_shards > 1:
+        import jax as _jax
+
+        from diffmm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(
+            len(_jax.devices()), model_parallel=args.model_shards
+        )
+    index = load_index(args.index, mesh=mesh)
     if args.warmup:
         from diffmm_tpu.eval.serving import warmup
 
         ks = [int(v) for v in args.warmup.split(",")]
         print(f"warming up k={ks} ...", flush=True)
-        warmup(index, ks, approx=args.approx)
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(index, approx=args.approx))
+        warmup(index, ks, approx=args.approx, mesh=mesh)
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(index, approx=args.approx, mesh=mesh)
+    )
     print(
-        f"serving {index.train_dense.shape} index on "
-        f"http://{args.host}:{server.server_address[1]}", flush=True,
+        f"serving ({index.u_final.shape[0]}, {index.i_final.shape[0]}) "
+        f"index on http://{args.host}:{server.server_address[1]}"
+        + (f" [model-sharded x{args.model_shards}]" if mesh is not None else ""),
+        flush=True,
     )
     try:
         server.serve_forever()

@@ -5,6 +5,15 @@ SURVEY.md §5.4); this is the deployment surface of the framework: export the
 final GCN embeddings once per model update, then answer per-user top-k
 queries with one MXU matmul + `lax.top_k`, train items masked exactly like
 eval (reference `Main.py:410` semantics).
+
+Scaling story (round 4): the index carries the train mask as a padded
+per-user item list (``seen_items`` ELL, O(nnz) memory) instead of the dense
+(U, I) matrix, the on-disk export is CSR (O(nnz) disk), and on a device
+mesh with a non-trivial model axis the catalog embeddings stay
+column-sharded — each request scores per shard and merges the m·k local
+candidates with one small top-k (the same exact distributed pattern as
+eval/ranking.py::make_score_topk), so no (B, I) score row nor (I, d)
+catalog ever materializes on one device.
 """
 
 from __future__ import annotations
@@ -17,21 +26,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Serializes FIRST-hit compiles of a (k, mask_seen, approx, batch) program
-# variant: a threaded server (serve_http) dispatching concurrent cold
-# requests would otherwise race XLA compilation of the same program —
-# correct but pathological for tail latency (every racer pays the full
-# compile). Warm variants dispatch lock-free.
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from diffmm_tpu.parallel.mesh import MODEL_AXIS
+
+# Serializes FIRST-hit compiles of a program variant: a threaded server
+# (serve_http) dispatching concurrent cold requests would otherwise race
+# XLA compilation of the same program — correct but pathological for tail
+# latency (every racer pays the full compile). Warm variants dispatch
+# lock-free.
 _compile_lock = threading.Lock()
 _compiled_variants: set[tuple] = set()
+# per-(mesh, topk-variant) jitted shard_map programs — a Mesh is hashable
+_sharded_fns: dict[tuple, object] = {}
 
 
 class RecIndex(NamedTuple):
-    """Frozen model state for serving: final embeddings + train mask."""
+    """Frozen model state for serving: final embeddings + train-seen lists.
+
+    ``seen_items``: (U, max_degree) int32, each row the user's train items
+    padded with ``item_num`` (out-of-range ⇒ dropped by the masking
+    scatter). O(nnz) like the training data itself — the dense (U, I) mask
+    this replaces was the one serving structure that scaled with the full
+    catalog square."""
 
     u_final: jax.Array  # (U, d)
-    i_final: jax.Array  # (I, d)
-    train_dense: jax.Array  # (U, I) int8 — mask of already-seen items
+    i_final: jax.Array  # (I, d) — catalog-sharded on a mesh
+    seen_items: jax.Array  # (U, max_deg) int32
+
+
+def _mask_seen_scores(scores: jax.Array, seen: jax.Array) -> jax.Array:
+    """Push each row's seen items below every real score (reference
+    `Main.py:410` outcome: train items can never appear in the top-k).
+    ``seen`` may contain out-of-range pads — dropped."""
+    b = scores.shape[0]
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    return scores.at[rows, seen].set(-1e9, mode="drop")
 
 
 @partial(jax.jit, static_argnames=("k", "mask_seen", "approx"))
@@ -41,8 +71,7 @@ def _recommend_compiled(
     u = index.u_final.take(users, axis=0)  # (B, d)
     scores = u @ index.i_final.T  # (B, I)
     if mask_seen:
-        mask = index.train_dense.take(users, axis=0).astype(scores.dtype)
-        scores = scores * (1.0 - mask) - mask * 1e8
+        scores = _mask_seen_scores(scores, index.seen_items.take(users, axis=0))
     if approx:
         # TPU-native bucketed top-k (avoids the full sort network; recall
         # target 0.95 per bucket — the right trade for yelp-scale catalogs)
@@ -52,12 +81,56 @@ def _recommend_compiled(
     return top_ids, top_scores
 
 
+def _make_recommend_sharded(
+    mesh: Mesh, item_num: int, k: int, mask_seen: bool, approx: bool
+):
+    """Distributed per-request top-k: score each catalog shard locally,
+    merge the m·k candidates (exact — the global top-k is contained in the
+    union of per-shard top-ks; same argument as eval's make_score_topk)."""
+    from jax import shard_map
+
+    m = mesh.shape[MODEL_AXIS]
+    width = item_num // m
+
+    def local(u, i_loc, seen):
+        s = u @ i_loc.T  # (B, I/m)
+        off = jax.lax.axis_index(MODEL_AXIS) * width
+        if mask_seen:
+            local_ids = seen - off
+            ok = (local_ids >= 0) & (local_ids < width)
+            s = _mask_seen_scores(s, jnp.where(ok, local_ids, width))
+        if approx:
+            vals, idx = jax.lax.approx_max_k(s, k, recall_target=0.95)
+        else:
+            vals, idx = jax.lax.top_k(s, k)
+        gidx = idx + off
+        vals_all = jax.lax.all_gather(vals, MODEL_AXIS, axis=1, tiled=True)
+        gidx_all = jax.lax.all_gather(gidx, MODEL_AXIS, axis=1, tiled=True)
+        top_vals, sel = jax.lax.top_k(vals_all, k)
+        return jnp.take_along_axis(gidx_all, sel, axis=1), top_vals
+
+    @jax.jit
+    def run(index: RecIndex, users: jax.Array):
+        u = index.u_final.take(users, axis=0)
+        seen = index.seen_items.take(users, axis=0)
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, None), P(MODEL_AXIS, None), P(None, None)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )(u, index.i_final, seen)
+
+    return run
+
+
 def recommend(
     index: RecIndex,
     users: jax.Array,
     k: int,
     mask_seen: bool = True,
     approx: bool = False,
+    mesh: Mesh | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-``k`` items (ids, scores) for a batch of user ids.
 
@@ -69,12 +142,23 @@ def recommend(
     ``approx=True`` swaps the exact `lax.top_k` for TPU's hardware-bucketed
     `approx_max_k` (0.95 recall target) — worth it once the catalog is
     large enough that the sort network dominates the matmul.
+
+    ``mesh``: serve from a catalog-sharded index (see :func:`place_index`)
+    with the exact distributed shard-and-merge top-k. Falls back to the
+    replicated program when the model axis is trivial or the catalog does
+    not divide it.
     """
     item_num = int(index.i_final.shape[0])
     k = int(k)
     if not 1 <= k <= item_num:
         raise ValueError(f"k must be in [1, {item_num}], got {k}")
     k_pad = min(1 << (k - 1).bit_length(), item_num)
+    sharded = (
+        mesh is not None
+        and mesh.shape[MODEL_AXIS] > 1
+        and item_num % mesh.shape[MODEL_AXIS] == 0
+        and k_pad <= item_num // mesh.shape[MODEL_AXIS]
+    )
     # Warm/cold is decided by exactly what jax.jit keys its compile cache
     # on — input shapes/dtypes + the static args — NOT index identity: a
     # re-exported same-shape index hits the same compiled program, so it is
@@ -84,22 +168,33 @@ def recommend(
     variant = (
         jax.tree.map(lambda a: (a.shape, str(a.dtype)), tuple(index)),
         users.shape, str(users.dtype), k_pad, bool(mask_seen), bool(approx),
+        mesh if sharded else None,
     )
-    if variant not in _compiled_variants:
-        with _compile_lock:
-            top_ids, top_scores = _recommend_compiled(
-                index, users, k_pad, bool(mask_seen), bool(approx)
-            )
-            _compiled_variants.add(variant)
+    if sharded:
+        key = (mesh, item_num, k_pad, bool(mask_seen), bool(approx))
+        fn = _sharded_fns.get(key)
+        if fn is None:
+            fn = _make_recommend_sharded(mesh, item_num, *key[2:])
+            _sharded_fns[key] = fn
+        call = lambda: fn(index, users)
     else:
-        top_ids, top_scores = _recommend_compiled(
+        call = lambda: _recommend_compiled(
             index, users, k_pad, bool(mask_seen), bool(approx)
         )
+    if variant not in _compiled_variants:
+        with _compile_lock:
+            top_ids, top_scores = call()
+            _compiled_variants.add(variant)
+    else:
+        top_ids, top_scores = call()
     return top_ids[:, :k], top_scores[:, :k]
 
 
 def warmup(
-    index: RecIndex, ks: list[int] | None = None, approx: bool = False
+    index: RecIndex,
+    ks: list[int] | None = None,
+    approx: bool = False,
+    mesh: Mesh | None = None,
 ) -> None:
     """Pre-compile the serving programs for the given ``k`` values (both
     mask modes, single-user batch) so no live request pays the first-hit
@@ -108,8 +203,49 @@ def warmup(
     users = jnp.zeros((1,), dtype=jnp.int32)
     for k in ks or [20]:
         for mask_seen in (True, False):
-            ids, scores = recommend(index, users, k, mask_seen, approx=approx)
+            ids, scores = recommend(
+                index, users, k, mask_seen, approx=approx, mesh=mesh
+            )
             jax.block_until_ready(scores)
+
+
+def seen_ell_from_edges(
+    rows: np.ndarray, cols: np.ndarray, user_num: int, item_num: int
+) -> np.ndarray:
+    """Host-side (U, max_degree) padded per-user train-item lists from raw
+    edges; pad value ``item_num`` (dropped by the masking scatter)."""
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    deg = np.bincount(rows, minlength=user_num)[:user_num]
+    width = max(int(deg.max()) if len(deg) else 1, 1)
+    order = np.argsort(rows, kind="stable")
+    r = rows[order]
+    c = cols[order]
+    first = np.concatenate([[0], np.cumsum(deg)])[:-1]
+    slot = np.arange(len(r)) - first[r]
+    ell = np.full((user_num, width), item_num, dtype=np.int32)
+    ell[r, slot] = c
+    return ell
+
+
+def place_index(index: RecIndex, mesh: Mesh | None) -> RecIndex:
+    """Lay the index out for mesh serving: catalog rows of ``i_final`` over
+    the model axis, everything else replicated (``u_final`` and the O(nnz)
+    seen lists are row-addressed by arbitrary request users, so they stay
+    whole). No-op without a non-trivial model axis."""
+    if mesh is None or mesh.shape[MODEL_AXIS] == 1:
+        return index
+    item_num = int(index.i_final.shape[0])
+    if item_num % mesh.shape[MODEL_AXIS]:
+        return index
+    rep = NamedSharding(mesh, P())
+    return RecIndex(
+        u_final=jax.device_put(index.u_final, rep),
+        i_final=jax.device_put(
+            index.i_final, NamedSharding(mesh, P(MODEL_AXIS, None))
+        ),
+        seen_items=jax.device_put(index.seen_items, rep),
+    )
 
 
 def build_index(coach, use_best: bool = True) -> RecIndex:
@@ -120,7 +256,11 @@ def build_index(coach, use_best: bool = True) -> RecIndex:
     (``Coach.capture_best`` — the reference's model-selection semantics,
     `Main.py:71-78`) instead of the final epoch's; the best epoch is
     frequently mid-run, so the final model is measurably worse. Falls back
-    to the live state when no eval ever ran."""
+    to the live state when no eval ever ran.
+
+    On a mesh-backed Coach the returned index is already placed
+    (catalog-sharded ``i_final``) — pass ``coach.mesh`` to
+    :func:`recommend` to serve it distributed."""
     if use_best:
         params, modal_adjs = coach.best_state()
     else:
@@ -131,24 +271,51 @@ def build_index(coach, use_best: bool = True) -> RecIndex:
         params, coach.data.adj, tuple(modal_adjs),
         coach.data.raw_feats, coach._hp(),
     )
-    return RecIndex(
-        u_final=u_final, i_final=i_final, train_dense=coach.data.train_dense
+    seen = jnp.asarray(
+        seen_ell_from_edges(
+            coach.host.train_rows, coach.host.train_cols,
+            coach.host.user_num, coach.host.item_num,
+        )
     )
+    index = RecIndex(u_final=u_final, i_final=i_final, seen_items=seen)
+    return place_index(index, coach.mesh)
 
 
 def save_index(index: RecIndex, path: str) -> None:
+    """Export as npz with the train mask in CSR (indptr/indices) — O(nnz)
+    on disk; the dense (U, I) mask this replaces was O(U·I)."""
+    seen = np.asarray(index.seen_items)
+    item_num = int(index.i_final.shape[0])
+    valid = seen < item_num
+    counts = valid.sum(axis=1).astype(np.int64)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    indices = seen[valid].astype(np.int32)
     np.savez(
         path,
         u_final=np.asarray(index.u_final),
         i_final=np.asarray(index.i_final),
-        train_dense=np.asarray(index.train_dense),
+        seen_indptr=indptr,
+        seen_indices=indices,
     )
 
 
-def load_index(path: str) -> RecIndex:
+def load_index(path: str, mesh: Mesh | None = None) -> RecIndex:
     data = np.load(path if path.endswith(".npz") else path + ".npz")
-    return RecIndex(
+    item_num = data["i_final"].shape[0]
+    if "seen_indptr" in data:
+        indptr = data["seen_indptr"]
+        indices = data["seen_indices"]
+        user_num = len(indptr) - 1
+        rows = np.repeat(np.arange(user_num), np.diff(indptr))
+        seen = seen_ell_from_edges(rows, indices, user_num, item_num)
+    else:  # pre-round-4 export with a dense (U, I) int8 mask
+        rows, cols = np.nonzero(data["train_dense"])
+        seen = seen_ell_from_edges(
+            rows, cols, data["train_dense"].shape[0], item_num
+        )
+    index = RecIndex(
         u_final=jnp.asarray(data["u_final"]),
         i_final=jnp.asarray(data["i_final"]),
-        train_dense=jnp.asarray(data["train_dense"]),
+        seen_items=jnp.asarray(seen),
     )
+    return place_index(index, mesh)

@@ -6,6 +6,7 @@ import threading
 import urllib.request
 from http.server import ThreadingHTTPServer
 
+import jax
 import numpy as np
 import pytest
 
@@ -120,14 +121,15 @@ def test_warmup_precompiles(tiny_config_module, tiny_data_module):
     coach = Coach(copy.deepcopy(tiny_config_module), tiny_data_module)
     coach.train_epoch(0)
     index = build_index(coach)
-    before = len(serving._compiled_variants)
+    index_shapes = jax.tree.map(
+        lambda a: (a.shape, str(a.dtype)), tuple(index)
+    )
     serving.warmup(index, ks=[7, 20])
     added = {
-        v for v in serving._compiled_variants
-        if v[0] == id(index.u_final)
+        v for v in serving._compiled_variants if v[0] == index_shapes
     }
-    assert len(serving._compiled_variants) - before >= 1
     # k=7 -> bucket 8, k=20 -> bucket 32 (capped at item_num=40): both mask
-    # modes for each bucket
-    buckets = {(v[2], v[3]) for v in added}
+    # modes for each bucket (variant = (index shapes, users shape, users
+    # dtype, k_pad, mask_seen, approx, mesh))
+    buckets = {(v[3], v[4]) for v in added}
     assert {(8, True), (8, False), (32, True), (32, False)} <= buckets

@@ -53,10 +53,10 @@ def test_recommend_approx_mode(tiny_config, tiny_data):
     users = jnp.asarray([0, 3, 7], dtype=jnp.int32)
     ids, scores = recommend(index, users, 5, approx=True)
     assert ids.shape == (3, 5)
-    train = np.asarray(index.train_dense)
+    seen = np.asarray(index.seen_items)
     for row, u in zip(np.asarray(ids), np.asarray(users)):
         assert all(0 <= i < tiny_data.item_num for i in row)
-        assert not train[u, row].any(), "seen item served"
+        assert not (set(row) & set(seen[u])), "seen item served"
 
 
 def test_export_serves_best_epoch_not_final(tmp_path):
@@ -96,7 +96,7 @@ def test_export_serves_best_epoch_not_final(tmp_path):
             index.i_final,
             jnp.asarray(host.test_users),
             jnp.ones(len(host.test_users), dtype=bool),
-            index.train_dense,
+            coach.data.train_dense,
             jnp.asarray(host.test_items),
             jnp.asarray(host.test_counts),
             dcg_table(cfg.base.topk),
@@ -119,3 +119,69 @@ def test_export_serves_best_epoch_not_final(tmp_path):
     assert coach2.best_snapshot["epoch"] == best["best_epoch"]
     r_resumed = recall_of(build_index(coach2))
     assert r_resumed == pytest.approx(best["Recall"], rel=1e-5)
+
+
+def test_recommend_mesh_sharded_matches_replicated(tiny_config, tiny_data):
+    """VERDICT r3 #3: serving from a catalog-sharded index (model axis > 1)
+    must return the replicated path's recommendations exactly — the shard-
+    and-merge top-k is exact, not approximate."""
+    from diffmm_tpu.eval.serving import place_index
+    from diffmm_tpu.parallel.mesh import make_mesh
+
+    coach = Coach(copy.deepcopy(tiny_config), tiny_data)
+    coach.train_epoch(0)
+    index = build_index(coach)
+    users = jnp.arange(12, dtype=jnp.int32)
+    k = 5
+    ids_rep, scores_rep = recommend(index, users, k)
+
+    mesh = make_mesh(8, model_parallel=4)
+    assert tiny_data.item_num % 4 == 0, "fixture must divide the model axis"
+    sharded = place_index(index, mesh)
+    ids_sh, scores_sh = recommend(sharded, users, k, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(ids_rep), np.asarray(ids_sh))
+    np.testing.assert_allclose(
+        np.asarray(scores_rep), np.asarray(scores_sh), rtol=1e-5, atol=1e-5
+    )
+    # masking holds on the sharded path too
+    seen = np.asarray(index.seen_items)
+    for row, u in zip(np.asarray(ids_sh), np.asarray(users)):
+        assert not (set(row) & set(seen[u])), f"user {u} got a seen item"
+
+
+def test_export_is_nnz_sized_not_catalog_squared(tiny_config, tiny_data, tmp_path):
+    """The npz export carries the train mask as CSR: its byte size scales
+    with nnz + embeddings, NOT user_num * item_num."""
+    coach = Coach(copy.deepcopy(tiny_config), tiny_data)
+    coach.train_epoch(0)
+    index = build_index(coach)
+    path = str(tmp_path / "index")
+    save_index(index, path)
+    import os
+
+    d = index.u_final.shape[1]
+    emb_bytes = 4 * d * (tiny_data.user_num + tiny_data.item_num)
+    mask_bytes = os.path.getsize(path + ".npz") - emb_bytes
+    # CSR: ~4 B per interaction + indptr; the dense form would be U*I
+    assert mask_bytes < tiny_data.user_num * tiny_data.item_num, mask_bytes
+    assert mask_bytes < 8 * tiny_data.nnz + 16 * tiny_data.user_num + 4096
+
+
+def test_load_legacy_dense_export(tiny_config, tiny_data, tmp_path):
+    """Pre-round-4 exports stored a dense (U, I) int8 mask; load_index must
+    convert them to the seen-list form with identical recommendations."""
+    coach = Coach(copy.deepcopy(tiny_config), tiny_data)
+    coach.train_epoch(0)
+    index = build_index(coach)
+    path = str(tmp_path / "legacy.npz")
+    np.savez(
+        path,
+        u_final=np.asarray(index.u_final),
+        i_final=np.asarray(index.i_final),
+        train_dense=tiny_data.train_dense.astype(np.int8),
+    )
+    back = load_index(path)
+    users = jnp.arange(10, dtype=jnp.int32)
+    ids_a, _ = recommend(index, users, 5)
+    ids_b, _ = recommend(back, users, 5)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))

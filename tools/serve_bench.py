@@ -48,11 +48,17 @@ def _synthesize_index(spec: str) -> str:
     u, i, d = (int(v) for v in spec.split(":", 1)[1].split(","))
     rng = np.random.default_rng(0)
     path = os.path.join(tempfile.mkdtemp(prefix="serve_bench_"), "index.npz")
+    # ~12 items/user seen lists in the CSR export form (so mask_seen does
+    # real work), O(nnz) like a real export
+    counts = rng.poisson(12.0, u).clip(1, i)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    indices = rng.integers(0, i, int(indptr[-1])).astype(np.int32)
     np.savez(
         path,
         u_final=rng.standard_normal((u, d), dtype=np.float32),
         i_final=rng.standard_normal((i, d), dtype=np.float32),
-        train_dense=(rng.random((u, i)) < 12.0 / i).astype(np.int8),
+        seen_indptr=indptr,
+        seen_indices=indices,
     )
     return path
 
