@@ -363,9 +363,12 @@ def _get_propagator(n_out: int, n_src: int, fwd_plan, bwd_plan, compute: str):
 
     def bwd(res, g):
         rows, cols, perm, bwd_rows, fwd_aux, bwd_aux = res
-        dmsgs = cast(g).take(jnp.clip(rows, 0, n_out - 1), axis=0)
-        dmsgs = jnp.where((rows < n_out)[:, None], dmsgs, 0.0)
-        dmsgs_s = dmsgs.take(perm, axis=0)
+        # compose the two gathers (ḡ by rows, then by perm) into one (nnz,
+        # d) float gather via the permuted int indices — the separate form
+        # materializes an extra (nnz, d) transient per backward direction
+        src_rows = rows.take(perm)
+        dmsgs_s = cast(g).take(jnp.clip(src_rows, 0, n_out - 1), axis=0)
+        dmsgs_s = jnp.where((src_rows < n_out)[:, None], dmsgs_s, 0.0)
         dmsgs_s = jnp.where((bwd_rows < n_src)[:, None], dmsgs_s, 0.0)
         dz = _reduce_sorted(dmsgs_s, bwd_rows, n_src, bwd_plan, bwd_aux)
 
