@@ -130,6 +130,12 @@ def main() -> int:
 
         s_config = copy.deepcopy(config)
         s_config.train.graph_form = "sparse"
+        # sparse production setting: bf16 messages on the kernel paths (the
+        # dense form's own matmul rounding policy; ~2.5% on tiktok, more
+        # where gathers dominate). BENCH_SPARSE_COMPUTE=f32 reverts.
+        s_config.train.segsum_compute = os.environ.get(
+            "BENCH_SPARSE_COMPUTE", "bf16"
+        )
         s_coach = Coach(s_config, host, log=log)
         s_times = []
         for ep in range(max(3, epochs // 2)):

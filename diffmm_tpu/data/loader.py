@@ -237,18 +237,24 @@ def load_host_data(config: Config, data_root: str | None = None) -> HostData:
     """Load a dataset and fill ``config.data`` shape fields
     (reference `DataHandler.py:107-131`).
 
-    ``name = "synthetic"`` (or ``synthetic:<users>x<items>``) generates a
-    random dataset with the standard invariants — lets every config run on
-    hosts without the (partially unshipped) reference data artifacts.
+    ``name = "synthetic"`` (or ``synthetic:<users>x<items>`` /
+    ``synthetic:<users>x<items>x<density>``) generates a random dataset
+    with the standard invariants — lets every config run on hosts without
+    the (partially unshipped) reference data artifacts; the density form
+    reproduces a real catalog's interaction count (e.g. Amazon-Sports
+    35598x18357x0.000392 ≈ its 256,308 train edges).
     """
     name = config.data.name
     if name.startswith("synthetic"):
         from diffmm_tpu.data.synthetic import make_synthetic_host_data
 
         if ":" in name:
-            u, i = name.split(":", 1)[1].lower().split("x")
+            parts = name.split(":", 1)[1].lower().split("x")
+            kwargs = {"user_num": int(parts[0]), "item_num": int(parts[1])}
+            if len(parts) > 2:
+                kwargs["density"] = float(parts[2])
             return make_synthetic_host_data(
-                config, user_num=int(u), item_num=int(i), seed=config.base.seed
+                config, seed=config.base.seed, **kwargs
             )
         return make_synthetic_host_data(config, seed=config.base.seed)
     data_dir = resolve_data_dir(name, data_root)

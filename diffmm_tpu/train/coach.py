@@ -482,8 +482,9 @@ class Coach:
             return (u_plan, i_plan)
         from diffmm_tpu.ops.pallas.segsum import make_segsum_plan
 
-        u_plan = make_segsum_plan(rows_p, host.user_num, d)
-        i_plan = make_segsum_plan(np.sort(cols_p), host.item_num, d)
+        chunk = int(os.environ.get("DIFFMM_SEGSUM_CHUNK", "512"))
+        u_plan = make_segsum_plan(rows_p, host.user_num, d, chunk=chunk)
+        i_plan = make_segsum_plan(np.sort(cols_p), host.item_num, d, chunk=chunk)
         if u_plan or i_plan:
             self.log.info(
                 "Sparse SpMM: MXU sorted-segment-sum "
@@ -518,7 +519,10 @@ class Coach:
         rows_p, _ = pad_edges(
             host.train_rows, host.train_cols, host.user_num, host.item_num
         )
-        plan = make_ranked_plan(len(rows_p), self.config.base.latdim)
+        chunk = int(os.environ.get("DIFFMM_SEGSUM_CHUNK", "512"))
+        plan = make_ranked_plan(
+            len(rows_p), self.config.base.latdim, chunk=chunk
+        )
         if plan is not None:
             self.log.info(
                 "Sparse SpMM: rank-space MXU reduction for the rebuilt "
