@@ -74,6 +74,10 @@ class DataConfig:
     # "svd" uses item co-occurrence directions of the train matrix (real
     # collaborative signal in place of the missing content embedding).
     missing_modalities: str = "zeros"
+    # Rank cap for the svd/svd_tfidf synthesis modes (0 = the blob's full
+    # documented dim). Small ranks keep only the leading co-occurrence
+    # directions — a regularizer and much cheaper to decompose.
+    synth_svd_rank: int = 0
 
 
 @dataclass

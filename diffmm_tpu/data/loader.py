@@ -93,6 +93,7 @@ def _synthesize_features(
     item_num: int,
     mode: str = "zeros",
     train: "sp.spmatrix | None" = None,
+    svd_rank: int = 0,
 ) -> np.ndarray:
     """Stand-in for an unshipped feature blob.
 
@@ -103,15 +104,29 @@ def _synthesize_features(
     singular directions of the train matrix (scaled by singular values,
     variance-normalized), so the modality branch carries real collaborative
     signal instead of a constant — the closest available analogue of the
-    content embedding the blob would have held.
+    content embedding the blob would have held. ``svd_tfidf`` decomposes
+    the IDF-weighted matrix instead (entry u,i scaled by
+    ``log((U+1)/(deg_i+1))`` — popular items down-weighted, so the
+    directions capture taste niches rather than popularity).
+    ``svd_rank`` (``data.synth_svd_rank``): cap the decomposition rank
+    below the blob dim (pad with zeros) — the leading directions carry
+    most of the signal and small ranks both regularize and compute faster.
     """
     dim = _SYNTH_FEAT_DIMS.get((name, modality), 64)
     if mode == "zeros":
         return np.zeros((item_num, dim), dtype=np.float32)
-    if mode == "svd":
+    if mode in ("svd", "svd_tfidf"):
         assert train is not None
         mat = sp.csr_matrix(train, dtype=np.float32)
+        if mode == "svd_tfidf":
+            deg_i = np.asarray(mat.sum(axis=0)).ravel()
+            idf = np.log((mat.shape[0] + 1.0) / (deg_i + 1.0)).astype(
+                np.float32
+            )
+            mat = sp.csr_matrix(mat.multiply(idf[None, :]))
         k = min(dim, min(mat.shape) - 1)
+        if svd_rank and svd_rank > 0:
+            k = min(k, svd_rank)
         if k < 1:  # degenerate 1-user/1-item matrix: nothing to decompose
             return np.zeros((item_num, dim), dtype=np.float32)
         feats = _train_svd_feats(mat, k)
@@ -285,9 +300,9 @@ def load_host_data(config: Config, data_root: str | None = None) -> HostData:
             stacklevel=2,
         )
         missing_mode = env_mode
-    if missing_mode not in ("zeros", "drop", "randn", "svd"):
+    if missing_mode not in ("zeros", "drop", "randn", "svd", "svd_tfidf"):
         raise ValueError(
-            "data.missing_modalities must be zeros|drop|randn|svd, "
+            "data.missing_modalities must be zeros|drop|randn|svd|svd_tfidf, "
             f"got {missing_mode!r}"
         )
     mods, raw_feats, feat_dims, synthesized = [], [], [], []
@@ -303,7 +318,10 @@ def load_host_data(config: Config, data_root: str | None = None) -> HostData:
             synthesized.append(f"{mod} (dropped)")
             continue
         else:
-            feats = _synthesize_features(name, mod, item_num, missing_mode, train)
+            feats = _synthesize_features(
+                name, mod, item_num, missing_mode, train,
+                svd_rank=config.data.synth_svd_rank,
+            )
             synthesized.append(mod)
         mods.append(mod)
         raw_feats.append(feats)

@@ -204,14 +204,21 @@ def _segsum_vmem_bytes(out_rows: int, d: int, chunk: int) -> int:
 
 def segsum_fits_vmem(num_segments: int, d: int, chunk: int = 512) -> bool:
     """VMEM budget for the scratch accumulator. Measured on v5e (128 MB
-    VMEM/core): with ``vmem_limit_bytes`` raised to the footprint, an 82 MB
-    accumulator (160k rows at d=64) compiles and runs; we gate at 84 MB to
-    stay inside measured territory. (The earlier 2x-RMW/15 MB accounting
-    was the Mosaic *default* scoped limit on scratch, not a pipeline
-    doubling — lifted by the explicit limit.) Net: num_segments <= ~163k
-    rows at d<=128."""
+    VMEM/core): an 82 MB accumulator (160k rows at d=64) compiles and runs
+    STANDALONE with ``vmem_limit_bytes`` raised to the footprint — but
+    round 4 found the same piece size crashes the TPU worker when the
+    kernel runs INSIDE the joint training program (sports-scale ranked
+    reduce, 84 MB piece: standalone parity passed, full epoch took the
+    worker down), because the surrounding program's live buffers share the
+    same VMEM. Gate at 64 MB to leave that headroom; net: num_segments <=
+    ~127k rows at d<=128 per piece (more pieces, same math). (The earlier
+    2x-RMW/15 MB accounting was the Mosaic *default* scoped limit on
+    scratch, not a pipeline doubling — lifted by the explicit limit.)"""
+    import os
+
+    budget_mb = int(os.environ.get("DIFFMM_SEGSUM_VMEM_MB", "64"))
     out_rows = _round_up(num_segments + chunk + _WINDOW_ALIGN, 8)
-    return _segsum_vmem_bytes(out_rows, d, chunk) <= 84 * 1024 * 1024
+    return _segsum_vmem_bytes(out_rows, d, chunk) <= budget_mb * 1024 * 1024
 
 
 def max_segments_in_vmem(d: int, chunk: int = 512) -> int:

@@ -101,3 +101,41 @@ def test_drop_missing_modalities(tmp_path, monkeypatch):
     coach = Coach(cfg, host)
     res = coach.train_epoch(0)
     assert "text loss" not in res and "image loss" in res
+
+
+def test_svd_tfidf_and_rank_synthesis(tmp_path, monkeypatch):
+    """svd_tfidf synthesizes IDF-weighted co-occurrence features; the rank
+    cap zero-pads beyond the leading directions."""
+    import os
+
+    import numpy as np
+
+    root = _write_ds(tmp_path, seed=9)
+    os.remove(os.path.join(root, "toyset", "text_feat.npy"))
+    monkeypatch.setenv("DIFFMM_DATA_ROOT", root)
+    monkeypatch.setenv("DIFFMM_FEAT_CACHE", "0")
+    monkeypatch.setitem(
+        __import__("diffmm_tpu.data.loader", fromlist=["MODALITIES"]).MODALITIES,
+        "toyset",
+        ["image", "text"],
+    )
+    cfg = Config()
+    cfg.data.name = "toyset"
+    cfg.data.missing_modalities = "svd_tfidf"
+    cfg.data.synth_svd_rank = 3
+    host = load_host_data(cfg)
+    assert host.synthesized == ["text"]
+    text = host.raw_feats[host.modalities.index("text")]
+    feats = np.asarray(text)
+    # rank cap: only the first 3 columns carry signal, the rest zero-pad
+    assert np.abs(feats[:, 3:]).max() == 0.0
+    assert np.abs(feats[:, :3]).max() > 0.0
+
+    # tfidf features differ from the unweighted svd features
+    cfg2 = Config()
+    cfg2.data.name = "toyset"
+    cfg2.data.missing_modalities = "svd"
+    cfg2.data.synth_svd_rank = 3
+    host2 = load_host_data(cfg2)
+    feats2 = np.asarray(host2.raw_feats[host2.modalities.index("text")])
+    assert not np.allclose(feats[:, :3], feats2[:, :3])
