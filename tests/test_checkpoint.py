@@ -9,6 +9,8 @@ import pytest
 
 from diffmm_tpu.train.coach import Coach
 
+pytestmark = pytest.mark.slow  # every test here (or its shared fixture) takes >10s on a stock CPU box
+
 
 @pytest.fixture()
 def cfg(tiny_config):

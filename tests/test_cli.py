@@ -3,8 +3,10 @@
 import numpy as np
 
 from diffmm_tpu.cli import main
+import pytest
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path, capsys):
     conf = tmp_path / "synth.toml"
     conf.write_text(
@@ -50,6 +52,7 @@ def test_cli_bad_config_exit_code(tmp_path):
     assert main(["-c", str(tmp_path / "missing.toml")]) == 1
 
 
+@pytest.mark.slow
 def test_cli_set_overrides(tmp_path):
     """--set applies config overrides (incl. the fused epoch scan path)."""
     conf = tmp_path / "synth.toml"

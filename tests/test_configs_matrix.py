@@ -12,6 +12,8 @@ from diffmm_tpu.config import load_config
 from diffmm_tpu.data.synthetic import make_synthetic_host_data
 from diffmm_tpu.train.coach import Coach
 
+pytestmark = pytest.mark.slow  # every test here (or its shared fixture) takes >10s on a stock CPU box
+
 CONFS = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "conf", "*.toml")))
 
 

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import torch
 
+import pytest
+
 from diffmm_tpu.models.denoise import (
     denoise_forward,
     init_denoise_params,
@@ -96,6 +98,7 @@ def test_multi_hidden_layers(rng):
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_bf16_param_storage_trains_stably(tiny_config, tiny_data):
     """base.denoise_param_dtype='bf16': params/grads/Adam moments ride bf16
     (half the phase-1/2 HBM state); the dtype must survive the scan carry

@@ -48,6 +48,7 @@ def test_dense_builder_drops_sentinels():
     )
 
 
+@pytest.mark.slow
 def test_dense_epoch_close_to_sparse(tiny_config, tiny_data):
     cfg_s = copy.deepcopy(tiny_config)
     cfg_s.train.graph_form = "sparse"
@@ -134,6 +135,7 @@ def test_int4_store_bit_identical_to_int8(tiny_data):
     np.testing.assert_array_equal(np.asarray(yi4), np.asarray(yi8))
 
 
+@pytest.mark.slow
 def test_int4_falls_back_to_int8_without_backend_support(
     tiny_config, tiny_data, monkeypatch
 ):
@@ -156,6 +158,7 @@ def test_int4_falls_back_to_int8_without_backend_support(
     assert np.isfinite(losses["Loss"])
 
 
+@pytest.mark.slow
 def test_int4_epoch_runs(tiny_config, tiny_data):
     """A full train epoch + eval with the int4 store (exercises the jitted
     rebuild path that scatters int8 then narrows)."""
@@ -170,6 +173,7 @@ def test_int4_epoch_runs(tiny_config, tiny_data):
     assert 0.0 <= metrics["Recall"] <= 1.0
 
 
+@pytest.mark.slow
 def test_int4_mesh_epoch_runs(tiny_config, tiny_data):
     """int4 dense blocks shard over the (data, model) mesh like int8 — the
     catalog-dim slices stay packed per device."""

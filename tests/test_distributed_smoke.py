@@ -107,6 +107,7 @@ def test_two_process_psum_over_mesh(tmp_path):
         assert f"proc {pid} ok" in out
 
 
+@pytest.mark.slow
 def test_cli_distributed_flag_single_process(tmp_path):
     """`--distributed` end-to-end through the CLI: a 1-process 'cluster'
     (coordinator + worker in the same process) over the synthetic dataset."""

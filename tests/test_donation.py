@@ -24,6 +24,9 @@ import jax
 import numpy as np
 
 from diffmm_tpu.train.coach import Coach
+import pytest
+
+pytestmark = pytest.mark.slow  # every test here (or its shared fixture) takes >10s on a stock CPU box
 
 
 def _tree_allclose(ta, tb, rtol=1e-6, atol=1e-7):

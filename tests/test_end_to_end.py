@@ -11,6 +11,8 @@ from diffmm_tpu.config import Config
 from diffmm_tpu.data.synthetic import make_synthetic_host_data
 from diffmm_tpu.train.coach import Coach
 
+pytestmark = pytest.mark.slow  # every test here (or its shared fixture) takes >10s on a stock CPU box
+
 
 @pytest.fixture(scope="module")
 def trained_coach():

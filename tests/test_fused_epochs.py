@@ -35,6 +35,7 @@ def _pair(tiny_config, tiny_data, mesh=None):
     return a, b
 
 
+@pytest.mark.slow
 def test_fused_matches_single_epoch_path(tiny_config, tiny_data):
     a, b = _pair(tiny_config, tiny_data)
     res_a = [a.train_epoch(e) for e in range(4)]
@@ -71,6 +72,7 @@ def test_fused_matches_single_epoch_path(tiny_config, tiny_data):
     assert abs(ea["Recall"] - eb["Recall"]) <= 0.05
 
 
+@pytest.mark.slow
 def test_fused_mesh_matches_single_device(tiny_config, tiny_data):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 (virtual) devices")
@@ -80,6 +82,7 @@ def test_fused_mesh_matches_single_device(tiny_config, tiny_data):
     _assert_tree_close(a.gcn_params, b.gcn_params)
 
 
+@pytest.mark.slow
 def test_fused_sparse_form(tiny_config, tiny_data):
     """The fused scan is graph-form agnostic: segment-sum SpMM path too."""
     cfg = copy.deepcopy(tiny_config)
@@ -118,6 +121,7 @@ def test_chunk_size_respects_boundaries(tiny_config, tiny_data, tmp_path):
     assert Coach(cfg2, tiny_data)._chunk_size(1, 10) == 1
 
 
+@pytest.mark.slow
 def test_run_fused_eval_mesh(tiny_config, tiny_data):
     """In-program eval under a mesh: the distributed-top-k shard_map runs
     inside lax.cond inside the epoch scan."""
@@ -135,6 +139,7 @@ def test_run_fused_eval_mesh(tiny_config, tiny_data):
     assert bm["best_epoch"] == bs["best_epoch"]
 
 
+@pytest.mark.slow
 def test_fused_checkpoint_resume_interchangeable(tiny_config, tiny_data, tmp_path):
     """A single-epoch-path checkpoint resumes into a FUSED run exactly:
     the two paths consume identical RNG streams, so state is portable."""
@@ -171,6 +176,7 @@ def test_fused_checkpoint_resume_interchangeable(tiny_config, tiny_data, tmp_pat
     _assert_tree_close(full.gcn_params, second.gcn_params)
 
 
+@pytest.mark.slow
 def test_run_fused_eval_every_epoch(tiny_config, tiny_data):
     """tstEpoch=1 (the reference cadence): evals run in-program under
     lax.cond, and the carry's best-state tracking reproduces the
@@ -196,6 +202,7 @@ def test_run_fused_eval_every_epoch(tiny_config, tiny_data):
         assert np.mean(np.asarray(a) == np.asarray(b)) > 0.99
 
 
+@pytest.mark.slow
 def test_run_with_epoch_scan(tiny_config, tiny_data):
     """run() with fusion enabled matches the plain run's best metrics."""
     cfg = copy.deepcopy(tiny_config)

@@ -21,6 +21,8 @@ from diffmm_tpu.ops.graph import bi_adj_to_dense, build_bi_adj_host
 from diffmm_tpu.train.steps import make_train_steps
 from diffmm_tpu.diffusion.schedule import make_schedule
 
+pytestmark = pytest.mark.slow  # every test here (or its shared fixture) takes >10s on a stock CPU box
+
 
 def _torch_joint_loss(params_np, adj_np, modal_adj_np, feats_np, users, pos, neg, hyper, reg, cl_method):
     """Independent torch recomputation of the joint loss (noise_degree=0)."""

@@ -9,6 +9,7 @@ import numpy as np
 from diffmm_tpu.data.loader import to_device
 from diffmm_tpu.ops.knn import knn_edges
 from diffmm_tpu.train.coach import Coach
+import pytest
 
 
 def _reference_knn(rows, cols, feats, user_num, topk):
@@ -59,6 +60,7 @@ def test_knn_edges_tolerate_padded_edges(tiny_data):
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
 
 
+@pytest.mark.slow
 def test_knn_ablation_epoch(tiny_config, tiny_data):
     cfg = copy.deepcopy(tiny_config)
     cfg.hyper.use_knn_adj = True

@@ -54,6 +54,7 @@ def test_shard_device_data_layout(mesh8, tiny_data):
     )
 
 
+@pytest.mark.slow
 def test_sharded_epoch_matches_single_device(tiny_config, tiny_data):
     """One full epoch + eval: mesh(4x2) vs single device, same seeds."""
     if len(jax.devices()) < 8:

@@ -29,6 +29,8 @@ from diffmm_tpu.ops.topk import plan_rebuild_buckets
 from diffmm_tpu.parallel import make_mesh
 from diffmm_tpu.train.coach import Coach
 
+pytestmark = pytest.mark.slow  # every test here (or its shared fixture) takes >10s on a stock CPU box
+
 
 def _skew(host, user=0, target_degree=40):
     """Give one user a heavy degree so the plan genuinely splits buckets."""

@@ -17,6 +17,8 @@ from diffmm_tpu.config import Config
 from diffmm_tpu.data.loader import load_host_data
 from diffmm_tpu.train.coach import Coach
 
+pytestmark = pytest.mark.slow  # every test here (or its shared fixture) takes >10s on a stock CPU box
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MINI = os.path.join(REPO, "data", "baby_mini")
 

@@ -6,6 +6,7 @@ import numpy as np
 
 from diffmm_tpu.data.loader import pad_edges
 from diffmm_tpu.ops.pallas.segsum import sorted_segment_sum, spans_fit
+import pytest
 
 
 def test_matches_segment_sum_dense_ids(rng):
@@ -171,6 +172,7 @@ def test_ranked_multi_piece_and_sentinels(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ranked_plan_in_sparse_coach(tiny_config, tiny_data, monkeypatch):
     """The sparse Coach must plan the rank-space reduction for the rebuilt
     modality item direction and keep the scatter trajectory (tolerance —
@@ -251,6 +253,7 @@ def test_sharded_plan_gates(rng):
     assert make_sharded_segsum_plan(wide, 10**6, 512, mesh, axes) is None
 
 
+@pytest.mark.slow
 def test_sparse_mesh_epoch_parity(tiny_config, tiny_data, monkeypatch):
     """VERDICT r2 #1: the sparse (web-scale) form on a mesh must run with
     non-None MXU plans — no silent fallback to XLA scatter — and match the

@@ -14,6 +14,8 @@ from diffmm_tpu.eval.serve_http import make_handler
 from diffmm_tpu.eval.serving import build_index
 from diffmm_tpu.train.coach import Coach
 
+pytestmark = pytest.mark.slow  # every test here (or its shared fixture) takes >10s on a stock CPU box
+
 
 @pytest.fixture(scope="module")
 def server(tiny_config_module, tiny_data_module):

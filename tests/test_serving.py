@@ -10,6 +10,8 @@ import numpy as np
 from diffmm_tpu.eval.serving import build_index, load_index, recommend, save_index
 from diffmm_tpu.train.coach import Coach
 
+pytestmark = pytest.mark.slow  # every test here (or its shared fixture) takes >10s on a stock CPU box
+
 
 def test_recommend_masks_train_items(tiny_config, tiny_data, tmp_path):
     coach = Coach(copy.deepcopy(tiny_config), tiny_data)

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffmm_tpu.ops.topk import topk_scatter_edges
+import pytest
 
 
 def _brute_force(scores, degrees):
@@ -141,6 +142,7 @@ def test_topk_table_approx_matches_exact_sets(rng):
         np.testing.assert_array_equal(np.sort(va[:, :k]), np.sort(ve[:, :k]))
 
 
+@pytest.mark.slow
 def test_rebuild_compute_bf16(tiny_config, tiny_data):
     """train.rebuild_compute='bf16' changes ONLY the no-grad reverse-sampling
     compute: phase-1 diffusion training stays bit-identical f32, and the

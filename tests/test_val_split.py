@@ -44,6 +44,7 @@ def test_group_eval_split_basic():
     assert items[0, 1] == -1
 
 
+@pytest.mark.slow
 def test_val_split_eval(tmp_path, monkeypatch):
     root = _write_ds(tmp_path)
     monkeypatch.setenv("DIFFMM_DATA_ROOT", root)
@@ -70,6 +71,7 @@ def test_val_split_eval(tmp_path, monkeypatch):
         coach.test_epoch("train")
 
 
+@pytest.mark.slow
 def test_val_missing_raises(tiny_config, tiny_data):
     coach = Coach(copy.deepcopy(tiny_config), tiny_data)
     coach.train_epoch(0)
@@ -77,6 +79,7 @@ def test_val_missing_raises(tiny_config, tiny_data):
         coach.test_epoch("val")
 
 
+@pytest.mark.slow
 def test_drop_missing_modalities(tmp_path, monkeypatch):
     """data.missing_modalities='drop' trains without the unshipped blob."""
     root = _write_ds(tmp_path, seed=4)
