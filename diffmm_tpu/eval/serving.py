@@ -6,9 +6,10 @@ final GCN embeddings once per model update, then answer per-user top-k
 queries with one MXU matmul + `lax.top_k`, train items masked exactly like
 eval (reference `Main.py:410` semantics).
 
-Scaling story (round 4): the index carries the train mask as a padded
-per-user item list (``seen_items`` ELL, O(nnz) memory) instead of the dense
-(U, I) matrix, the on-disk export is CSR (O(nnz) disk), and on a device
+Scaling story (round 4): the index carries the train mask as user-major CSR
+seen lists (O(nnz) memory — each request pads only its own batch to the max
+user degree) instead of the dense (U, I) matrix, the on-disk export is the
+same CSR (O(nnz) disk), and on a device
 mesh with a non-trivial model axis the catalog embeddings stay
 column-sharded — each request scores per shard and merges the m·k local
 candidates with one small top-k (the same exact distributed pattern as
@@ -44,15 +45,54 @@ _sharded_fns: dict[tuple, object] = {}
 class RecIndex(NamedTuple):
     """Frozen model state for serving: final embeddings + train-seen lists.
 
-    ``seen_items``: (U, max_degree) int32, each row the user's train items
-    padded with ``item_num`` (out-of-range ⇒ dropped by the masking
-    scatter). O(nnz) like the training data itself — the dense (U, I) mask
-    this replaces was the one serving structure that scaled with the full
-    catalog square."""
+    The seen lists are CSR (``seen_indptr``/``seen_indices``, user-major,
+    int32 — fine to ~2B edges): **O(nnz) in memory**, like the training data
+    itself. A padded (U, max_degree) table would be O(U·max_degree) — on
+    power-law interaction data one heavy user inflates that U-fold — and the
+    dense (U, I) mask it originally replaced was O(U·I). Requests expand
+    only their own batch to the padded width (:func:`_gather_seen`).
+
+    ``seen_width`` is the max user degree as a HOST int (``np.int32``) — the
+    static pad width of the per-request gather; never read inside jit (it
+    rides the pytree as an unused scalar)."""
 
     u_final: jax.Array  # (U, d)
     i_final: jax.Array  # (I, d) — catalog-sharded on a mesh
-    seen_items: jax.Array  # (U, max_deg) int32
+    seen_indptr: jax.Array  # (U + 1,) int32
+    seen_indices: jax.Array  # (nnz,) int32, user-major
+    seen_width: np.int32  # host scalar: max user degree (static gather pad)
+
+
+def _index_fingerprint(index: RecIndex) -> tuple:
+    """Compile-relevant identity of an index: array shapes/dtypes + the
+    static gather width. Shared by the variant bookkeeping and tests."""
+    arrays = (
+        index.u_final, index.i_final, index.seen_indptr, index.seen_indices
+    )
+    return tuple((a.shape, str(a.dtype)) for a in arrays) + (
+        int(index.seen_width),
+    )
+
+
+def _gather_seen(
+    indptr: jax.Array,
+    indices: jax.Array,
+    users: jax.Array,
+    width: int,
+    item_num: int,
+) -> jax.Array:
+    """(B, width) train-item ids for the requested users, padded with
+    ``item_num`` (dropped by the masking scatter): a per-request
+    O(B·max_degree) transient gathered from the O(nnz) CSR."""
+    if int(indices.shape[0]) == 0 or width == 0:
+        return jnp.full(
+            (users.shape[0], max(width, 1)), item_num, dtype=jnp.int32
+        )
+    starts = indptr.take(users)
+    degs = indptr.take(users + 1) - starts
+    offs = jnp.arange(width, dtype=jnp.int32)[None, :]
+    pos = jnp.clip(starts[:, None] + offs, 0, indices.shape[0] - 1)
+    return jnp.where(offs < degs[:, None], indices.take(pos), item_num)
 
 
 def _mask_seen_scores(scores: jax.Array, seen: jax.Array) -> jax.Array:
@@ -64,14 +104,23 @@ def _mask_seen_scores(scores: jax.Array, seen: jax.Array) -> jax.Array:
     return scores.at[rows, seen].set(-1e9, mode="drop")
 
 
-@partial(jax.jit, static_argnames=("k", "mask_seen", "approx"))
+@partial(jax.jit, static_argnames=("k", "mask_seen", "approx", "seen_width"))
 def _recommend_compiled(
-    index: RecIndex, users: jax.Array, k: int, mask_seen: bool, approx: bool
+    index: RecIndex,
+    users: jax.Array,
+    k: int,
+    mask_seen: bool,
+    approx: bool,
+    seen_width: int,
 ) -> tuple[jax.Array, jax.Array]:
     u = index.u_final.take(users, axis=0)  # (B, d)
     scores = u @ index.i_final.T  # (B, I)
     if mask_seen:
-        scores = _mask_seen_scores(scores, index.seen_items.take(users, axis=0))
+        seen = _gather_seen(
+            index.seen_indptr, index.seen_indices, users, seen_width,
+            index.i_final.shape[0],
+        )
+        scores = _mask_seen_scores(scores, seen)
     if approx:
         # TPU-native bucketed top-k (avoids the full sort network; recall
         # target 0.95 per bucket — the right trade for yelp-scale catalogs)
@@ -82,7 +131,12 @@ def _recommend_compiled(
 
 
 def _make_recommend_sharded(
-    mesh: Mesh, item_num: int, k: int, mask_seen: bool, approx: bool
+    mesh: Mesh,
+    item_num: int,
+    k: int,
+    mask_seen: bool,
+    approx: bool,
+    seen_width: int,
 ):
     """Distributed per-request top-k: score each catalog shard locally,
     merge the m·k candidates (exact — the global top-k is contained in the
@@ -112,7 +166,9 @@ def _make_recommend_sharded(
     @jax.jit
     def run(index: RecIndex, users: jax.Array):
         u = index.u_final.take(users, axis=0)
-        seen = index.seen_items.take(users, axis=0)
+        seen = _gather_seen(
+            index.seen_indptr, index.seen_indices, users, seen_width, item_num
+        )
         return shard_map(
             local,
             mesh=mesh,
@@ -165,13 +221,16 @@ def recommend(
     # warm from the first request, and the variant set is bounded by the
     # number of distinct shapes a server ever sees (id()-based keys could
     # alias a dropped index via CPython id reuse and grew per export).
+    seen_width = int(index.seen_width)
     variant = (
-        jax.tree.map(lambda a: (a.shape, str(a.dtype)), tuple(index)),
+        _index_fingerprint(index),
         users.shape, str(users.dtype), k_pad, bool(mask_seen), bool(approx),
         mesh if sharded else None,
     )
     if sharded:
-        key = (mesh, item_num, k_pad, bool(mask_seen), bool(approx))
+        key = (
+            mesh, item_num, k_pad, bool(mask_seen), bool(approx), seen_width
+        )
         fn = _sharded_fns.get(key)
         if fn is None:
             fn = _make_recommend_sharded(mesh, item_num, *key[2:])
@@ -179,7 +238,7 @@ def recommend(
         call = lambda: fn(index, users)
     else:
         call = lambda: _recommend_compiled(
-            index, users, k_pad, bool(mask_seen), bool(approx)
+            index, users, k_pad, bool(mask_seen), bool(approx), seen_width
         )
     if variant not in _compiled_variants:
         with _compile_lock:
@@ -209,23 +268,20 @@ def warmup(
             jax.block_until_ready(scores)
 
 
-def seen_ell_from_edges(
-    rows: np.ndarray, cols: np.ndarray, user_num: int, item_num: int
-) -> np.ndarray:
-    """Host-side (U, max_degree) padded per-user train-item lists from raw
-    edges; pad value ``item_num`` (dropped by the masking scatter)."""
+def seen_csr_from_edges(
+    rows: np.ndarray, cols: np.ndarray, user_num: int
+) -> tuple[np.ndarray, np.ndarray, np.int32]:
+    """Host-side user-major CSR train-item lists from raw edges:
+    ``(indptr (U+1,), indices (nnz,), max_degree)`` — the O(nnz) in-memory
+    form of the serving mask (no (U, max_degree) table is ever built)."""
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     deg = np.bincount(rows, minlength=user_num)[:user_num]
-    width = max(int(deg.max()) if len(deg) else 1, 1)
     order = np.argsort(rows, kind="stable")
-    r = rows[order]
-    c = cols[order]
-    first = np.concatenate([[0], np.cumsum(deg)])[:-1]
-    slot = np.arange(len(r)) - first[r]
-    ell = np.full((user_num, width), item_num, dtype=np.int32)
-    ell[r, slot] = c
-    return ell
+    indices = np.asarray(cols)[order].astype(np.int32)
+    indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
+    width = np.int32(max(int(deg.max()) if deg.size else 1, 1))
+    return indptr, indices, width
 
 
 def place_index(index: RecIndex, mesh: Mesh | None) -> RecIndex:
@@ -244,7 +300,9 @@ def place_index(index: RecIndex, mesh: Mesh | None) -> RecIndex:
         i_final=jax.device_put(
             index.i_final, NamedSharding(mesh, P(MODEL_AXIS, None))
         ),
-        seen_items=jax.device_put(index.seen_items, rep),
+        seen_indptr=jax.device_put(index.seen_indptr, rep),
+        seen_indices=jax.device_put(index.seen_indices, rep),
+        seen_width=index.seen_width,
     )
 
 
@@ -271,51 +329,48 @@ def build_index(coach, use_best: bool = True) -> RecIndex:
         params, coach.data.adj, tuple(modal_adjs),
         coach.data.raw_feats, coach._hp(),
     )
-    seen = jnp.asarray(
-        seen_ell_from_edges(
-            coach.host.train_rows, coach.host.train_cols,
-            coach.host.user_num, coach.host.item_num,
-        )
+    indptr, indices, width = seen_csr_from_edges(
+        coach.host.train_rows, coach.host.train_cols, coach.host.user_num
     )
-    index = RecIndex(u_final=u_final, i_final=i_final, seen_items=seen)
+    index = RecIndex(
+        u_final=u_final,
+        i_final=i_final,
+        seen_indptr=jnp.asarray(indptr),
+        seen_indices=jnp.asarray(indices),
+        seen_width=width,
+    )
     return place_index(index, coach.mesh)
 
 
 def save_index(index: RecIndex, path: str) -> None:
     """Export as npz with the train mask in CSR (indptr/indices) — O(nnz)
-    on disk; the dense (U, I) mask this replaces was O(U·I)."""
-    seen = np.asarray(index.seen_items)
-    item_num = int(index.i_final.shape[0])
-    valid = seen < item_num
-    counts = valid.sum(axis=1).astype(np.int64)
-    indptr = np.concatenate([[0], np.cumsum(counts)])
-    indices = seen[valid].astype(np.int32)
+    on disk AND in memory; the dense (U, I) mask this replaces was O(U·I)."""
     np.savez(
         path,
         u_final=np.asarray(index.u_final),
         i_final=np.asarray(index.i_final),
-        seen_indptr=indptr,
-        seen_indices=indices,
+        seen_indptr=np.asarray(index.seen_indptr),
+        seen_indices=np.asarray(index.seen_indices),
     )
 
 
 def load_index(path: str, mesh: Mesh | None = None) -> RecIndex:
     data = np.load(path if path.endswith(".npz") else path + ".npz")
-    item_num = data["i_final"].shape[0]
     if "seen_indptr" in data:
-        indptr = data["seen_indptr"]
-        indices = data["seen_indices"]
-        user_num = len(indptr) - 1
-        rows = np.repeat(np.arange(user_num), np.diff(indptr))
-        seen = seen_ell_from_edges(rows, indices, user_num, item_num)
+        indptr = data["seen_indptr"].astype(np.int32)
+        indices = data["seen_indices"].astype(np.int32)
+        deg = np.diff(indptr)
+        width = np.int32(max(int(deg.max()) if deg.size else 1, 1))
     else:  # pre-round-4 export with a dense (U, I) int8 mask
         rows, cols = np.nonzero(data["train_dense"])
-        seen = seen_ell_from_edges(
-            rows, cols, data["train_dense"].shape[0], item_num
+        indptr, indices, width = seen_csr_from_edges(
+            rows, cols, data["train_dense"].shape[0]
         )
     index = RecIndex(
         u_final=jnp.asarray(data["u_final"]),
         i_final=jnp.asarray(data["i_final"]),
-        seen_items=jnp.asarray(seen),
+        seen_indptr=jnp.asarray(indptr),
+        seen_indices=jnp.asarray(indices),
+        seen_width=width,
     )
     return place_index(index, mesh)

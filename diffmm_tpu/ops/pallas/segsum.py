@@ -65,7 +65,11 @@ def _segsum_kernel(rows_ref, msgs_ref, out_ref, acc_ref, sem):
 
     rows = rows_ref[:, 0]  # (E,) sorted segment ids of this chunk
     E = rows.shape[0]
-    u0 = (rows[0] >> 7) << 7  # window start, _WINDOW_ALIGN-aligned
+    # window start, _WINDOW_ALIGN-aligned. The slack W gains over the raw
+    # chunk size MUST equal the alignment granularity: a start rounded down
+    # by up to (_WINDOW_ALIGN - 1) rows pushes local ids up by the same
+    # amount, and only the widened one-hot keeps them in range.
+    u0 = (rows[0] // _WINDOW_ALIGN) * _WINDOW_ALIGN
     W = E + _WINDOW_ALIGN
     local = rows - u0  # in [0, W) for real edges; >= W for far-off pads
     # Precision note (measured on v5e): the MXU lowers this f32 dot through
@@ -418,8 +422,10 @@ def sharded_sorted_segment_sum(
         )
         # place the local span into the (tail-padded) global frame; an
         # all-sentinel shard starts at num_segments and lands fully in the
-        # dropped tail
-        buf = jnp.zeros((num_segments + local_rows, d), msgs_l.dtype)
+        # dropped tail. Frame dtype follows the kernel OUTPUT (f32
+        # accumulation), not the message dtype — bf16 messages would
+        # otherwise hit dynamic_update_slice's same-dtype requirement
+        buf = jnp.zeros((num_segments + local_rows, d), out_l.dtype)
         buf = jax.lax.dynamic_update_slice(buf, out_l, (row_start, 0))
         return jax.lax.psum(buf[:num_segments], plan.axes)
 

@@ -1127,6 +1127,11 @@ class Coach:
         current state when no snapshot exists (e.g. eval never ran)."""
         snap = self.best_snapshot
         if snap is None:
+            # the fallback reads the LIVE buffers — refuse with the donation
+            # diagnostic instead of a raw deleted-buffer error if a donating
+            # dispatch failed mid-epoch (the snapshot path below only reads
+            # host copies + sharding metadata, so it stays serveable)
+            self._check_state_valid()
             assert self.ensure_modal_adjs() is not None, (
                 "no trained epoch and no best snapshot to serve from"
             )

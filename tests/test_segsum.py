@@ -238,6 +238,40 @@ def test_sharded_matches_segment_sum(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_bf16_messages(rng):
+    """bf16 messages through the mesh form (the `train.segsum_compute="bf16"`
+    production setting): must not trip dynamic_update_slice's same-dtype
+    requirement (the local frame follows the kernel's f32 ACCUMULATION dtype,
+    not the message dtype) and must match a segment_sum over the same
+    bf16-rounded messages."""
+    from diffmm_tpu.ops.pallas.segsum import (
+        make_sharded_segsum_plan,
+        sharded_sorted_segment_sum,
+    )
+    from diffmm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    mesh = _mesh8()
+    U, d, chunk = 300, 16, 128
+    real = np.sort(rng.integers(0, U, 1000)).astype(np.int32)
+    ids = np.concatenate([real, np.full(24, U, np.int32)])
+    msgs = rng.standard_normal((len(ids), d)).astype(np.float32)
+    msgs[1000:] = 0.0
+    msgs_bf16 = jnp.asarray(msgs).astype(jnp.bfloat16)
+    plan = make_sharded_segsum_plan(
+        ids, U, d, mesh, (DATA_AXIS, MODEL_AXIS), chunk=chunk
+    )
+    assert plan is not None
+    got = sharded_sorted_segment_sum(msgs_bf16, jnp.asarray(ids), U, plan)
+    assert got.dtype == jnp.float32
+    want = jax.ops.segment_sum(
+        msgs_bf16[:1000].astype(jnp.float32), jnp.asarray(real),
+        num_segments=U,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_sharded_plan_gates(rng):
     """Uneven edge counts and VMEM-oversized shard spans must refuse to plan
     (callers keep the XLA path) rather than mis-reduce."""

@@ -123,9 +123,7 @@ def test_warmup_precompiles(tiny_config_module, tiny_data_module):
     coach = Coach(copy.deepcopy(tiny_config_module), tiny_data_module)
     coach.train_epoch(0)
     index = build_index(coach)
-    index_shapes = jax.tree.map(
-        lambda a: (a.shape, str(a.dtype)), tuple(index)
-    )
+    index_shapes = serving._index_fingerprint(index)
     serving.warmup(index, ks=[7, 20])
     added = {
         v for v in serving._compiled_variants if v[0] == index_shapes

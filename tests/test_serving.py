@@ -55,10 +55,11 @@ def test_recommend_approx_mode(tiny_config, tiny_data):
     users = jnp.asarray([0, 3, 7], dtype=jnp.int32)
     ids, scores = recommend(index, users, 5, approx=True)
     assert ids.shape == (3, 5)
-    seen = np.asarray(index.seen_items)
+    ptr = np.asarray(index.seen_indptr)
+    idx = np.asarray(index.seen_indices)
     for row, u in zip(np.asarray(ids), np.asarray(users)):
         assert all(0 <= i < tiny_data.item_num for i in row)
-        assert not (set(row) & set(seen[u])), "seen item served"
+        assert not (set(row) & set(idx[ptr[u]:ptr[u + 1]])), "seen item served"
 
 
 def test_export_serves_best_epoch_not_final(tmp_path):
@@ -146,9 +147,10 @@ def test_recommend_mesh_sharded_matches_replicated(tiny_config, tiny_data):
         np.asarray(scores_rep), np.asarray(scores_sh), rtol=1e-5, atol=1e-5
     )
     # masking holds on the sharded path too
-    seen = np.asarray(index.seen_items)
+    ptr = np.asarray(index.seen_indptr)
+    idx = np.asarray(index.seen_indices)
     for row, u in zip(np.asarray(ids_sh), np.asarray(users)):
-        assert not (set(row) & set(seen[u])), f"user {u} got a seen item"
+        assert not (set(row) & set(idx[ptr[u]:ptr[u + 1]])), f"user {u} got a seen item"
 
 
 def test_export_is_nnz_sized_not_catalog_squared(tiny_config, tiny_data, tmp_path):

@@ -133,11 +133,16 @@ def main(argv=None) -> int:
     xu = jnp.asarray(rng.standard_normal((host.user_num, d), dtype=np.float32))
     xi = jnp.asarray(rng.standard_normal((host.item_num, d), dtype=np.float32))
 
-    # sparse form: main graph uses both direction plans, modality graphs
-    # only the user-direction one (item layout is dynamic) — mirror
-    # steps.make_train_steps' wiring so the timed unit is the real one
+    # sparse form: main graph uses both direction plans; modality graphs use
+    # the user-direction plan + the rank-space item plan (their item layout
+    # re-sorts every epoch), EXCEPT under the KNN ablation whose
+    # user_num*knn_topk edge layout none of the train-layout plans cover —
+    # mirror steps.make_train_steps' wiring so the timed unit is the real one
     main_segsum = coach.segsum_plans
-    modal_segsum = (coach.segsum_plans[0], coach.modal_item_plan)
+    modal_segsum = (
+        (None, None) if config.hyper.use_knn_adj
+        else (coach.segsum_plans[0], coach.modal_item_plan)
+    )
 
     K, R = args.inner, args.reps
 
