@@ -112,6 +112,16 @@ def main(argv=None) -> int:
             len(_jax.devices()), model_parallel=args.model_shards
         )
     index = load_index(args.index, mesh=mesh)
+    if mesh is not None and index.i_final.shape[0] % args.model_shards:
+        # recommend() and place_index() both fall back to the replicated
+        # program for a non-dividing catalog — say so instead of banner-
+        # advertising a sharding that is not in effect
+        print(
+            f"WARNING: catalog {index.i_final.shape[0]} does not divide "
+            f"--model-shards {args.model_shards}; serving REPLICATED",
+            flush=True,
+        )
+        mesh = None
     if args.warmup:
         from diffmm_tpu.eval.serving import warmup
 

@@ -82,6 +82,13 @@ def main(argv=None) -> int:
     p.add_argument("--requests", type=int, default=2000)
     p.add_argument("--clients", type=int, default=4)
     p.add_argument("--approx", action="store_true")
+    p.add_argument(
+        "--model-shards", type=int, default=1, metavar="M",
+        help="serve_http --model-shards: catalog-shard the index over M "
+        "devices (per-request distributed top-k). Combine with "
+        "SERVE_BENCH_CHILD_ENV to give the child a virtual device mesh, "
+        'e.g. {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}',
+    )
     args = p.parse_args(argv)
 
     if args.index.startswith("synthetic:"):
@@ -93,6 +100,8 @@ def main(argv=None) -> int:
     ]
     if args.approx:
         cmd.append("--approx")
+    if args.model_shards > 1:
+        cmd += ["--model-shards", str(args.model_shards)]
     env = os.environ.copy()
     for key, val in json.loads(os.environ.get("SERVE_BENCH_CHILD_ENV", "{}")).items():
         if val is None:
