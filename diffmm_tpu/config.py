@@ -15,6 +15,24 @@ aliases so every shipped config loads with one consistent schema:
 `denoise_dim` keeps the reference's stringified-list encoding ("[1024]",
 parsed with ast.literal_eval at reference `Main.py:97`) but also accepts a
 real TOML list.
+
+Environment knobs (process-level overrides, intentionally NOT config fields
+— they select implementation paths for probes/tests, never semantics; each
+warns or logs when non-default):
+
+  * ``DIFFMM_SEGSUM=xla|mxu`` — force the sparse reduction path
+    (train/coach.py::_segsum_gate; ``mxu`` enables interpret-mode plans on
+    the CPU backend for tests).
+  * ``DIFFMM_SEGSUM_CHUNK`` — edges per one-hot MXU matmul in the segsum
+    plans (default 512; carried ON the plan so execution always matches the
+    window check — ops/pallas/segsum.py::StaticSegsumPlan).
+  * ``DIFFMM_SEGSUM_VMEM_MB`` — segsum VMEM gate budget (default 64, the
+    measured in-program safe bound); read ONCE at segsum import.
+  * ``DIFFMM_SPMM=dual|two_pass`` — dense-form fused dual-direction kernel
+    opt-in (ops/graph.py; measured loss vs two_pass recorded there).
+  * ``DIFFMM_DATA_ROOT`` / ``DIFFMM_FEAT_CACHE`` / ``DIFFMM_SYNTH_MODE`` —
+    dataset root, SVD feature cache location (0 disables), and a loud
+    synthesis-mode override for sweep A/B probes (data/loader.py).
 """
 
 from __future__ import annotations

@@ -206,6 +206,33 @@ def _segsum_vmem_bytes(out_rows: int, d: int, chunk: int) -> int:
     return acc_bytes + chunk_bytes + chunk * (chunk + _WINDOW_ALIGN) * 4
 
 
+# VMEM budget for plan gating, resolved ONCE at import so a run's effective
+# budget is a constant of the process: plans (and the pinned budget-window
+# test assertions) cannot silently change under a stray env var set between
+# calls, and the effective value is recorded in the module state. Override
+# with DIFFMM_SEGSUM_VMEM_MB before import (documented in config.py's env
+# knob table); non-default values are logged loudly here.
+_VMEM_BUDGET_MB: int = 64
+
+
+def _init_vmem_budget() -> int:
+    import os
+
+    budget = int(os.environ.get("DIFFMM_SEGSUM_VMEM_MB", "64"))
+    if budget != 64:
+        import warnings
+
+        warnings.warn(
+            f"DIFFMM_SEGSUM_VMEM_MB={budget} overrides the measured 64 MB "
+            "segsum VMEM budget for this process",
+            stacklevel=2,
+        )
+    return budget
+
+
+_VMEM_BUDGET_MB = _init_vmem_budget()
+
+
 def segsum_fits_vmem(num_segments: int, d: int, chunk: int = 512) -> bool:
     """VMEM budget for the scratch accumulator. Measured on v5e (128 MB
     VMEM/core): an 82 MB accumulator (160k rows at d=64) compiles and runs
@@ -218,11 +245,8 @@ def segsum_fits_vmem(num_segments: int, d: int, chunk: int = 512) -> bool:
     ~127k rows at d<=128 per piece (more pieces, same math). (The earlier
     2x-RMW/15 MB accounting was the Mosaic *default* scoped limit on
     scratch, not a pipeline doubling — lifted by the explicit limit.)"""
-    import os
-
-    budget_mb = int(os.environ.get("DIFFMM_SEGSUM_VMEM_MB", "64"))
     out_rows = _round_up(num_segments + chunk + _WINDOW_ALIGN, 8)
-    return _segsum_vmem_bytes(out_rows, d, chunk) <= budget_mb * 1024 * 1024
+    return _segsum_vmem_bytes(out_rows, d, chunk) <= _VMEM_BUDGET_MB * 1024 * 1024
 
 
 def max_segments_in_vmem(d: int, chunk: int = 512) -> int:
@@ -247,6 +271,28 @@ def default_max_edges_per_piece(d: int) -> int:
     return (1 << 30) // (d * 4)
 
 
+class StaticSegsumPlan(NamedTuple):
+    """Host-made piecewise plan for a STATIC sorted id layout.
+
+    Carries the ``chunk`` it was validated with: the spans_fit window check
+    and the VMEM sizing in :func:`make_segsum_plan` are only valid for that
+    exact chunk, so execution must use the same value — a plan without it
+    once let the kernel run at the default 512 while the plan was built for
+    another chunk, silently dropping edges past the executed window.
+
+    Fields:
+      pieces: static ``(edge_lo, edge_hi, seg_lo, seg_hi)`` ranges.
+      chunk: kernel chunk (edges per one-hot MXU matmul) the plan was
+        window-checked and VMEM-sized against.
+    """
+
+    pieces: tuple
+    chunk: int
+
+    def __len__(self) -> int:  # piece count (log/telemetry convenience)
+        return len(self.pieces)
+
+
 def make_segsum_plan(
     ids_sorted,
     num_segments: int,
@@ -258,11 +304,11 @@ def make_segsum_plan(
     sorted-id layout into segment ranges that each fit the VMEM window AND
     the per-piece edge budget (which bounds the transient (E, d) gather in
     HBM — see :func:`default_max_edges_per_piece`), with static edge
-    boundaries found by searchsorted. Returns a tuple of
-    ``(edge_lo, edge_hi, seg_lo, seg_hi)`` pieces, or None when any piece
-    fails the chunk-span window check (the kernel would drop entries).
-    Sentinel ids (== num_segments) fall after the last piece and are
-    excluded entirely. A single segment with more edges than the budget
+    boundaries found by searchsorted. Returns a :class:`StaticSegsumPlan`
+    of ``(edge_lo, edge_hi, seg_lo, seg_hi)`` pieces, or None when any
+    piece fails the chunk-span window check (the kernel would drop
+    entries). Sentinel ids (== num_segments) fall after the last piece and
+    are excluded entirely. A single segment with more edges than the budget
     becomes its own oversized piece (it cannot split below segment
     granularity)."""
     import numpy as np
@@ -291,7 +337,7 @@ def make_segsum_plan(
             return None
         pieces.append((edge_lo, edge_hi, seg_lo, seg_hi))
         seg_lo = seg_hi
-    return tuple(pieces)
+    return StaticSegsumPlan(pieces=tuple(pieces), chunk=chunk)
 
 
 def sorted_segment_sum_planned(
@@ -299,18 +345,29 @@ def sorted_segment_sum_planned(
     seg_ids: jax.Array,
     num_segments: int,
     plan,
-    chunk: int = 512,
+    chunk: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Apply :func:`sorted_segment_sum` piecewise per a host-made plan
     (static edge/segment ranges), concatenating the piece outputs.
 
+    ``plan``: a :class:`StaticSegsumPlan` (executes at the chunk it was
+    validated with) or a raw pieces tuple + explicit ``chunk`` (tests /
+    hand-tiled plans; defaults to 512 for raw tuples only).
+
     ``interpret=None`` resolves at trace time: compiled on TPU, interpreter
     on CPU (so CPU tests drive the same code path)."""
+    if isinstance(plan, StaticSegsumPlan):
+        assert chunk is None or chunk == plan.chunk, (chunk, plan.chunk)
+        pieces, chunk = plan.pieces, plan.chunk
+    else:
+        pieces = plan
+        if chunk is None:
+            chunk = 512
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     outs = []
-    for edge_lo, edge_hi, seg_lo, seg_hi in plan:
+    for edge_lo, edge_hi, seg_lo, seg_hi in pieces:
         if edge_hi == edge_lo:
             outs.append(jnp.zeros((seg_hi - seg_lo, msgs.shape[1]), msgs.dtype))
             continue

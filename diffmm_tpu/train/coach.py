@@ -49,12 +49,38 @@ _build_dense_adj_jit = partial(
 )(build_dense_bi_adj_device)
 
 # The dense MXU graph form is selected automatically while the interaction
-# blocks for main + modality graphs fit this HBM budget at their storage
+# blocks for main + modality graphs fit an HBM budget at their storage
 # width (int8 default = 1 B/cell; ops/graph.py DenseBiAdj); beyond it the
 # segment-sum SpMM path is used.
 # The budget is per device: catalog-sharding over the mesh's model axis
 # splits every (U, I) block, so the budget scales with that axis.
+# 4 GiB is the FALLBACK when the device exposes no memory stats (CPU, some
+# virtual backends) — it was calibrated on a 16 GiB v5e, i.e. 1/4 of HBM,
+# leaving the rest for params + Adam moments (3 catalog-row copies per
+# denoiser), the (B, I) phase transients, and XLA workspace. Real devices
+# derive the budget from their own limit via dense_graph_budget_bytes().
 DENSE_GRAPH_BUDGET_BYTES = 4 << 30
+_DENSE_BUDGET_HBM_FRACTION = 0.25
+
+
+def dense_graph_budget_bytes(device=None) -> int:
+    """Per-device HBM budget for the dense-form interaction blocks.
+
+    Probes ``memory_stats()["bytes_limit"]`` of the default (or given)
+    device and applies the measured v5e calibration fraction, so "auto"
+    stays honest across chip generations: a 32 GiB chip keeps the dense
+    form 2x longer, an 8 GiB one switches to sparse before it would OOM.
+    memory_stats is optional in the JAX device API (None on CPU) — absent
+    or zero limits fall back to the 4 GiB constant."""
+    try:
+        dev = device if device is not None else jax.devices()[0]
+        stats = dev.memory_stats()
+        limit = int((stats or {}).get("bytes_limit", 0))
+    except Exception:
+        limit = 0
+    if limit <= 0:
+        return DENSE_GRAPH_BUDGET_BYTES
+    return int(limit * _DENSE_BUDGET_HBM_FRACTION)
 
 
 def resolve_dense_store(name: str) -> tuple:
@@ -104,11 +130,17 @@ def int4_jit_args_supported() -> bool:
 def choose_graph_form(
     form: str, n_modal: int, user_num: int, item_num: int,
     model_parallel: int = 1, bytes_per_cell: int = 2,
+    budget_bytes: int | None = None,
 ) -> bool:
     """True -> dense MXU form. ``form``: auto|dense|sparse (validated).
     ``bytes_per_cell``: dense-block storage width (1 for the int8 default,
-    2 for bf16, 0.5 for packed int4 — narrower covers more catalog)."""
+    2 for bf16, 0.5 for packed int4 — narrower covers more catalog).
+    ``budget_bytes``: per-device HBM budget for the blocks; None probes the
+    device (:func:`dense_graph_budget_bytes` — tests pass simulated
+    budgets)."""
     if form == "auto":
+        if budget_bytes is None:
+            budget_bytes = dense_graph_budget_bytes()
         bytes_needed = (n_modal + 1) * user_num * item_num * bytes_per_cell
         if bytes_per_cell < 2:
             # int8 storage: reserve for ONE transient bf16 operand copy in
@@ -116,7 +148,7 @@ def choose_graph_form(
             # shape — fusion is a scheduling choice, not a contract, and
             # the temporary is reused across the (n_modal+1) graphs.
             bytes_needed += user_num * item_num * 2
-        return bytes_needed <= DENSE_GRAPH_BUDGET_BYTES * max(model_parallel, 1)
+        return bytes_needed <= budget_bytes * max(model_parallel, 1)
     if form in ("dense", "sparse"):
         return form == "dense"
     raise ValueError(f"train.graph_form must be auto|dense|sparse, got {form!r}")

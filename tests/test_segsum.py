@@ -88,6 +88,50 @@ def test_planned_matches_segment_sum(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_planned_executes_at_plan_chunk(rng):
+    """ADVICE r4 regression: a plan built at a non-default chunk must
+    execute at that chunk — the spans_fit window check is only valid
+    there. This layout passes the check at chunk=1024 but drops edges if
+    the kernel runs at the former default 512 (512-edge window spanning
+    768 rows > the 512+128 one-hot window)."""
+    from diffmm_tpu.ops.pallas.segsum import (
+        make_segsum_plan,
+        sorted_segment_sum_planned,
+    )
+
+    ids = []
+    base = 0
+    for _ in range(4):
+        ids += [base] * 512  # dense stretch: span 1
+        sparse = base + 1 + (np.arange(512) * 1.5).astype(np.int64)
+        ids += sparse.tolist()  # sparse stretch: span 768
+        base = ids[-1] + 1
+    ids = np.asarray(ids, dtype=np.int32)
+    num_segments = int(base)
+    msgs = rng.standard_normal((len(ids), 8)).astype(np.float32)
+
+    plan = make_segsum_plan(ids, num_segments, d=8, chunk=1024)
+    assert plan is not None and plan.chunk == 1024
+    # the same layout must NOT validate at 512 (the bug's execution chunk)
+    assert make_segsum_plan(ids, num_segments, d=8, chunk=512) is None
+
+    got = np.asarray(
+        sorted_segment_sum_planned(
+            jnp.asarray(msgs), jnp.asarray(ids), num_segments, plan,
+            interpret=True,
+        )
+    )
+    want = np.asarray(
+        jax.ops.segment_sum(
+            jnp.asarray(msgs), jnp.asarray(ids), num_segments=num_segments
+        )
+    )
+    # 512-element f32 sums: accumulation order differs between the one-hot
+    # dot and the scatter (observed ~2e-5 absolute) — a dropped dense
+    # stretch would be off by O(sqrt(512)) ~ 20, far outside this band
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_planned_gradients(rng):
     from diffmm_tpu.ops.pallas.segsum import sorted_segment_sum_planned
 
@@ -345,13 +389,15 @@ def test_plan_edge_budget(rng):
     plan = make_segsum_plan(ids, num_segments, d=8, chunk=64,
                             max_edges_per_piece=1500)
     assert plan is not None and len(plan) >= 6
-    for edge_lo, edge_hi, seg_lo, seg_hi in plan:
+    assert plan.chunk == 64  # plan carries its validated execution chunk
+    pieces = plan.pieces
+    for edge_lo, edge_hi, seg_lo, seg_hi in pieces:
         assert seg_hi > seg_lo
         assert edge_hi - edge_lo <= 1500 or seg_hi - seg_lo == 1
     # contiguous, complete cover
-    assert plan[0][2] == 0 and plan[-1][3] == num_segments
-    assert all(a[3] == b[2] for a, b in zip(plan, plan[1:]))
-    assert plan[0][0] == 0 and plan[-1][1] == len(ids)
+    assert pieces[0][2] == 0 and pieces[-1][3] == num_segments
+    assert all(a[3] == b[2] for a, b in zip(pieces, pieces[1:]))
+    assert pieces[0][0] == 0 and pieces[-1][1] == len(ids)
 
     # hub segment: one segment with more edges than the budget
     hub = np.sort(
@@ -360,4 +406,4 @@ def test_plan_edge_budget(rng):
     )
     plan = make_segsum_plan(hub, 50, d=8, chunk=64, max_edges_per_piece=1000)
     assert plan is not None
-    assert plan[0][2] == 0 and plan[0][3] == 1  # the hub rides alone
+    assert plan.pieces[0][2] == 0 and plan.pieces[0][3] == 1  # the hub rides alone
