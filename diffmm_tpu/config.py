@@ -150,6 +150,18 @@ class TrainConfig:
     # vary within the usual seed-level band. "bf16" opts out; "int4" packs
     # two cells per HBM byte (exact too — measured A/B in DESIGN.md).
     dense_store: str = "int8"
+    # Membership representation of the train interactions (diffusion rows,
+    # negative-sampling tests, eval masks). "dense" keeps the (U, I) int8
+    # matrix the reference materializes (`DataHandler.py:128`) — right while
+    # it fits HBM: row reads are contiguous. "csr" holds ONLY the O(nnz)
+    # user-major CSR view (aliasing the edge arrays already on device — zero
+    # extra memory) and materializes each block's rows in-program
+    # (data/membership.py; bit-identical rows/bits, so trajectories are
+    # exactly interchangeable — tests/test_membership.py). "auto" follows
+    # the graph form: dense with the dense MXU graphs, csr on the sparse
+    # form — so a sparse-form run carries NO O(U·I) array anywhere, host or
+    # device (the web-scale contract; VERDICT r4 #1).
+    train_store: str = "auto"
     # Rebuild top-k implementation. "approx" = lax.approx_max_k with
     # recall_target=1.0 (the TPU PartialReduce custom call, measured 2.9 vs
     # 3.7 ms for lax.top_k at tiktok shape): identical VALUES and

@@ -23,7 +23,7 @@ import pickle
 import warnings
 import zlib
 from dataclasses import dataclass, field
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -212,7 +212,6 @@ class HostData:
     user_degrees: np.ndarray  # (U,) int32
     csr_offsets: np.ndarray  # (U,) int32: start of each user's edge span
     k_max: int  # max user degree (static top-k bound)
-    train_dense: np.ndarray  # (U, I) int8
     raw_feats: list[np.ndarray]  # per modality (I, dim) f32
     # test set
     test_users: np.ndarray  # (Tu,) int32
@@ -224,10 +223,23 @@ class HostData:
     val_users: np.ndarray | None = None
     val_items: np.ndarray | None = None
     val_counts: np.ndarray | None = None
+    # (U, I) int8, built LAZILY by the train_dense property: only the dense
+    # membership store reads it (reference `DataHandler.py:128` materializes
+    # it unconditionally); the CSR store — the sparse graph form's default —
+    # never touches it, so web-scale catalogs never allocate O(U·I) on host.
+    _train_dense: np.ndarray | None = None
 
     @property
     def nnz(self) -> int:
         return int(self.train_rows.shape[0])
+
+    @property
+    def train_dense(self) -> np.ndarray:
+        if self._train_dense is None:
+            dense = np.zeros((self.user_num, self.item_num), dtype=np.int8)
+            dense[self.train_rows, self.train_cols] = 1
+            self._train_dense = dense
+        return self._train_dense
 
 
 class DeviceData(NamedTuple):
@@ -238,7 +250,10 @@ class DeviceData(NamedTuple):
     train_cols: jax.Array
     user_degrees: jax.Array
     csr_offsets: jax.Array
-    train_dense: jax.Array  # (U, I) int8
+    # membership store: (U, I) int8 dense matrix OR an O(nnz) TrainCSR
+    # whose arrays alias train_cols/csr_offsets/user_degrees above
+    # (data/membership.py — dispatch is by Python type inside the steps)
+    train_store: Any
     raw_feats: list[jax.Array]
     test_users: jax.Array
     test_items: jax.Array
@@ -285,9 +300,6 @@ def load_host_data(config: Config, data_root: str | None = None) -> HostData:
     cols = train.col.astype(np.int32)[order]
     degrees = np.bincount(rows, minlength=user_num).astype(np.int32)
     offsets = np.concatenate([[0], np.cumsum(degrees[:-1])]).astype(np.int32)
-
-    dense = np.zeros((user_num, item_num), dtype=np.int8)
-    dense[rows, cols] = 1
 
     missing_mode = config.data.missing_modalities
     env_mode = os.environ.get("DIFFMM_SYNTH_MODE")
@@ -357,7 +369,6 @@ def load_host_data(config: Config, data_root: str | None = None) -> HostData:
         user_degrees=degrees,
         csr_offsets=offsets,
         k_max=int(degrees.max()),
-        train_dense=dense,
         raw_feats=raw_feats,
         test_users=test_users,
         test_items=test_items,
@@ -403,10 +414,19 @@ def pad_edges(
     return rows, cols
 
 
-def to_device(host: HostData, with_sparse_adj: bool = True) -> DeviceData:
+def to_device(
+    host: HostData, with_sparse_adj: bool = True, train_store: str = "dense"
+) -> DeviceData:
     """``with_sparse_adj=False`` skips the host-side sparse adjacency build
     (sorting + iu_perm) for runs on the dense MXU graph form, which replaces
-    ``adj`` anyway (train/coach.py)."""
+    ``adj`` anyway (train/coach.py).
+
+    ``train_store``: membership representation — "dense" materializes the
+    (U, I) int8 matrix (reference `DataHandler.py:128` behavior), "csr"
+    builds a :class:`~diffmm_tpu.data.membership.TrainCSR` view over the
+    SAME padded edge/offset/degree arrays placed below (zero extra device
+    memory; the host-side dense matrix is never built either).
+    """
     rows_p, cols_p = pad_edges(
         host.train_rows, host.train_cols, host.user_num, host.item_num
     )
@@ -415,13 +435,28 @@ def to_device(host: HostData, with_sparse_adj: bool = True) -> DeviceData:
         if with_sparse_adj
         else None
     )
+    train_cols_dev = jnp.asarray(cols_p)
+    degrees_dev = jnp.asarray(host.user_degrees)
+    offsets_dev = jnp.asarray(host.csr_offsets)
+    if train_store == "dense":
+        store = jnp.asarray(host.train_dense)
+    elif train_store == "csr":
+        from diffmm_tpu.data.membership import make_train_csr
+
+        store = make_train_csr(
+            train_cols_dev, offsets_dev, degrees_dev, host.k_max
+        )
+    else:
+        raise ValueError(
+            f"train_store must be dense|csr, got {train_store!r}"
+        )
     return DeviceData(
         adj=adj,
         train_rows=jnp.asarray(rows_p),
-        train_cols=jnp.asarray(cols_p),
-        user_degrees=jnp.asarray(host.user_degrees),
-        csr_offsets=jnp.asarray(host.csr_offsets),
-        train_dense=jnp.asarray(host.train_dense),
+        train_cols=train_cols_dev,
+        user_degrees=degrees_dev,
+        csr_offsets=offsets_dev,
+        train_store=store,
         raw_feats=[jnp.asarray(f) for f in host.raw_feats],
         test_users=jnp.asarray(host.test_users),
         test_items=jnp.asarray(host.test_items),

@@ -60,19 +60,29 @@ def make_synthetic_host_data(
         for u in range(user_num):
             if dense[u].sum() == 0:
                 dense[u, rng.integers(item_num)] = 1
+        rows, cols = np.nonzero(dense)
+        rows = rows.astype(np.int32)
+        cols = cols.astype(np.int32)
     else:
-        # large shapes: draw edges sparsely instead of materializing a
-        # float64 (U, I) random matrix on host
+        # large shapes: draw edges sparsely — NO (U, I) array is ever
+        # materialized (np.unique of the flat ids deduplicates AND yields
+        # the loader's exact CSR order: user-major, ascending items within
+        # each user). A 200k x 100k demo would need a 20 GB int8 matrix.
         n_draw = int(user_num * item_num * density)
-        r = rng.integers(0, user_num, n_draw)
-        c = rng.integers(0, item_num, n_draw)
-        dense = np.zeros((user_num, item_num), dtype=np.int8)
-        dense[r, c] = 1
-        missing = np.nonzero(dense.sum(axis=1) == 0)[0]
-        dense[missing, rng.integers(0, item_num, len(missing))] = 1
-    rows, cols = np.nonzero(dense)
-    rows = rows.astype(np.int32)
-    cols = cols.astype(np.int32)
+        r = rng.integers(0, user_num, n_draw, dtype=np.int64)
+        c = rng.integers(0, item_num, n_draw, dtype=np.int64)
+        flat = np.unique(r * item_num + c)
+        have = np.zeros(user_num, dtype=bool)
+        have[(flat // item_num).astype(np.int64)] = True
+        missing = np.nonzero(~have)[0]
+        if missing.size:  # guarantee >= 1 interaction per user
+            extra = missing * item_num + rng.integers(
+                0, item_num, missing.size, dtype=np.int64
+            )
+            flat = np.unique(np.concatenate([flat, extra]))
+        rows = (flat // item_num).astype(np.int32)
+        cols = (flat % item_num).astype(np.int32)
+        dense = None
     degrees = np.bincount(rows, minlength=user_num).astype(np.int32)
     offsets = np.concatenate([[0], np.cumsum(degrees[:-1])]).astype(np.int32)
 
@@ -92,6 +102,20 @@ def make_synthetic_host_data(
     # test set: a few held-out items per user (may overlap train; fine for
     # tests). Structured mode: the highest-affinity NON-train items — the
     # items the latent model says the user would pick next.
+    if affinity is None and user_num > 20_000:
+        # large perf-demo shapes: one vectorized draw instead of a per-user
+        # Python loop (draws may repeat within a user — harmless for the
+        # scale demos this branch serves; accuracy tests use small shapes
+        # or structure_rank, which keep the exact per-user path below)
+        test_users = np.arange(user_num, dtype=np.int32)
+        test_items = rng.integers(
+            0, item_num, (user_num, test_per_user)
+        ).astype(np.int32)
+        test_counts = np.full(user_num, test_per_user, dtype=np.int32)
+        return _assemble(
+            config, user_num, item_num, mods, dims, rows, cols, degrees,
+            offsets, dense, raw_feats, test_users, test_items, test_counts,
+        )
     t_users, t_items, t_counts = [], [], []
     for u in range(user_num):
         if affinity is not None:
@@ -116,7 +140,16 @@ def make_synthetic_host_data(
     test_users = np.array(t_users, dtype=np.int32)
     test_items = np.stack(t_items)
     test_counts = np.array(t_counts, dtype=np.int32)
+    return _assemble(
+        config, user_num, item_num, mods, dims, rows, cols, degrees,
+        offsets, dense, raw_feats, test_users, test_items, test_counts,
+    )
 
+
+def _assemble(
+    config, user_num, item_num, mods, dims, rows, cols, degrees, offsets,
+    dense, raw_feats, test_users, test_items, test_counts,
+) -> HostData:
     config.data.name = "synthetic"
     config.data.user_num = user_num
     config.data.item_num = item_num
@@ -135,11 +168,14 @@ def make_synthetic_host_data(
         user_degrees=degrees,
         csr_offsets=offsets,
         k_max=int(degrees.max()),
-        train_dense=dense,
         raw_feats=raw_feats,
         test_users=test_users,
         test_items=test_items,
         test_counts=test_counts,
+        # reuse the small branch's already-built matrix; large shapes pass
+        # None and HostData.train_dense builds lazily IF a dense-store run
+        # ever asks for it
+        _train_dense=dense,
     )
 
 

@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from diffmm_tpu.data.membership import TrainCSR, gather_item_lists, gather_rows
 from diffmm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
@@ -40,16 +41,18 @@ def dcg_table(topk: int) -> jax.Array:
     )
 
 
-def _plain_score_topk(u, i_final, train_dense, users, topk):
+def _plain_score_topk(u, i_final, train_store, users, topk):
     """Replicated scoring: mask train items, full-row top-k
-    (reference `Main.py:403-411`)."""
-    mask = train_dense.take(users, axis=0).astype(jnp.float32)
+    (reference `Main.py:403-411`). The mask rows come from the membership
+    store — dense row gather or per-block CSR materialization, identical
+    0/1 values (data/membership.py)."""
+    mask = gather_rows(train_store, users, i_final.shape[0])
     scores = (u @ i_final.T) * (1.0 - mask) - mask * 1e8
     return jax.lax.top_k(scores, topk)[1]
 
 
 def make_score_topk(topk: int, mesh: Mesh | None = None):
-    """Build ``(u, i_final, train_dense, users) -> (B, topk) global ids``.
+    """Build ``(u, i_final, train_store, users) -> (B, topk) global ids``.
 
     Without a mesh (or with a trivial model axis) this is the replicated
     full-catalog scoring above. On a mesh with model_parallel > 1 it is the
@@ -61,23 +64,47 @@ def make_score_topk(topk: int, mesh: Mesh | None = None):
     ``top_k``. The top-k of the union of per-shard top-ks equals the global
     top-k, so this is exact (candidate ties at the -1e8 mask floor can
     reorder, but masked = train items, which are never test items).
+
+    ``train_store`` may be the dense (U, I) matrix (catalog columns sharded
+    over the model axis) or a TrainCSR: then each user's O(k_max) item list
+    is gathered OUTSIDE the shard_map and every shard scatters only the
+    items landing in its catalog range into its local (B/dm, I/m) mask — no
+    (B, I) array and no O(U·I) operand anywhere.
     """
     if mesh is None or mesh.shape[MODEL_AXIS] == 1:
-        return lambda u, i_final, train_dense, users: _plain_score_topk(
-            u, i_final, train_dense, users, topk
+        return lambda u, i_final, train_store, users: _plain_score_topk(
+            u, i_final, train_store, users, topk
         )
     m = mesh.shape[MODEL_AXIS]
 
-    def sharded(u, i_final, train_dense, users):
+    def sharded(u, i_final, train_store, users):
         item_num = i_final.shape[0]
         if item_num % m or topk > item_num // m:
             # catalog not evenly divisible (or shards thinner than k):
             # fall back to the replicated form rather than pad
-            return _plain_score_topk(u, i_final, train_dense, users, topk)
+            return _plain_score_topk(u, i_final, train_store, users, topk)
         width = item_num // m
+        is_csr = isinstance(train_store, TrainCSR)
+        if is_csr:
+            seen, valid = gather_item_lists(train_store, users)
+            seen = jnp.where(valid, seen, jnp.int32(item_num))
 
-        def local(u_blk, i_loc, dense_loc, users_blk):
-            mask = dense_loc.take(users_blk, axis=0).astype(jnp.float32)
+        def local_mask_csr(b, i_loc, seen_blk):
+            loc = seen_blk - jax.lax.axis_index(MODEL_AXIS) * width
+            ok = (loc >= 0) & (loc < width)
+            loc = jnp.where(ok, loc, width)  # out-of-shard -> dropped
+            mask = jnp.zeros((b, width), jnp.float32)
+            return mask.at[
+                jnp.arange(b)[:, None], loc
+            ].set(1.0, mode="drop")
+
+        def local(u_blk, i_loc, seen_or_dense, users_blk):
+            if is_csr:
+                mask = local_mask_csr(u_blk.shape[0], i_loc, seen_or_dense)
+            else:
+                mask = seen_or_dense.take(users_blk, axis=0).astype(
+                    jnp.float32
+                )
             s = (u_blk @ i_loc.T) * (1.0 - mask) - mask * 1e8
             vals, idx = jax.lax.top_k(s, topk)  # (B/dm, k) local
             gidx = idx + jax.lax.axis_index(MODEL_AXIS) * width
@@ -92,12 +119,14 @@ def make_score_topk(topk: int, mesh: Mesh | None = None):
             in_specs=(
                 P(DATA_AXIS, None),      # u: user block rows over data
                 P(MODEL_AXIS, None),     # i_final: catalog rows over model
-                P(None, MODEL_AXIS),     # train_dense: catalog cols over model
+                # seen lists ride the data axis with their users; the dense
+                # matrix shards its catalog columns over model
+                P(DATA_AXIS, None) if is_csr else P(None, MODEL_AXIS),
                 P(DATA_AXIS),            # users
             ),
             out_specs=P(DATA_AXIS, None),
             check_vma=False,
-        )(u, i_final, train_dense, users)
+        )(u, i_final, seen if is_csr else train_store, users)
 
     return sharded
 
@@ -130,7 +159,7 @@ def _metric_sums(
 
 def make_eval_batch(topk: int, mesh: Mesh | None = None):
     """Build the jitted one-block eval: ``(u_final, i_final, users, valid,
-    train_dense, test_items, test_counts, cum_dcg) -> EvalBatchSums``.
+    train_store, test_items, test_counts, cum_dcg) -> EvalBatchSums``.
 
     There is ONE scoring path — :func:`make_score_topk` — bound to the mesh
     at build time: replicated full-catalog scoring off-mesh, explicit
@@ -143,9 +172,9 @@ def make_eval_batch(topk: int, mesh: Mesh | None = None):
       u_final/i_final: (U, d)/(I, d) final GCN embeddings.
       users: (B,) test user ids (padded blocks carry arbitrary ids).
       valid: (B,) bool, False on padding rows.
-      train_dense: (U, I) int8 train membership matrix (mask rows are
-        gathered on device; reference streams dense rows via a DataLoader,
-        `DataHandler.py:207-209`).
+      train_store: (U, I) int8 train membership matrix or TrainCSR (mask
+        rows materialize on device either way; reference streams dense rows
+        via a DataLoader, `DataHandler.py:207-209`).
       test_items: (B, maxT) int32 test items, padded with -1.
       test_counts: (B,) int32 number of test items per user.
       cum_dcg: (topk+1,) ideal-DCG cumulative table from :func:`dcg_table`.
@@ -154,11 +183,11 @@ def make_eval_batch(topk: int, mesh: Mesh | None = None):
 
     @jax.jit
     def run(
-        u_final, i_final, users, valid, train_dense, test_items, test_counts,
+        u_final, i_final, users, valid, train_store, test_items, test_counts,
         cum_dcg,
     ) -> EvalBatchSums:
         top_idx = score_topk(
-            u_final.take(users, axis=0), i_final, train_dense, users
+            u_final.take(users, axis=0), i_final, train_store, users
         )
         return _metric_sums(
             top_idx, valid, test_items, test_counts, cum_dcg, topk
@@ -178,13 +207,13 @@ def make_eval_epoch(topk: int, mesh: Mesh | None = None):
 
     @jax.jit
     def run(
-        u_final, i_final, users_blocks, valid_blocks, train_dense,
+        u_final, i_final, users_blocks, valid_blocks, train_store,
         items_blocks, counts_blocks, cum_dcg,
     ):
         def body(acc, xs):
             users, valid, t_items, t_counts = xs
             top_idx = score_topk(
-                u_final.take(users, axis=0), i_final, train_dense, users
+                u_final.take(users, axis=0), i_final, train_store, users
             )
             out = _metric_sums(top_idx, valid, t_items, t_counts, cum_dcg, topk)
             return acc + jnp.stack(out), None

@@ -198,10 +198,14 @@ def spmm_bi(
         iu_cols = adj.ui_rows.take(adj.iu_perm)
         # reductions BY the item-major layout (m_u's backward, m_i's
         # forward) take the adjacency's hoisted rank machinery when their
-        # plan is rank-space (None aux -> computed inline, still exact)
-        from diffmm_tpu.ops.pallas.segsum import RankedSegsumPlan as _RSP
+        # plan is rank-space — single-device or mesh form (None aux ->
+        # computed inline, still exact)
+        from diffmm_tpu.ops.pallas.segsum import (
+            RankedSegsumPlan as _RSP,
+            ShardedRankedPlan as _SRP,
+        )
 
-        i_aux = adj.rank_aux if isinstance(i_plan, _RSP) else None
+        i_aux = adj.rank_aux if isinstance(i_plan, (_RSP, _SRP)) else None
         m_u = _propagate_sorted(
             z_i, adj.ui_rows, adj.ui_cols, adj.iu_perm, iu_rows,
             adj.user_num, adj.item_num, u_plan, i_plan, compute,
@@ -309,14 +313,18 @@ def _reduce_sorted(msgs, ids, n, plan, aux=None):
     if plan is not None:
         from diffmm_tpu.ops.pallas.segsum import (
             RankedSegsumPlan,
+            ShardedRankedPlan,
             ShardedSegsumPlan,
             ranked_segment_sum,
+            sharded_ranked_segment_sum,
             sharded_sorted_segment_sum,
             sorted_segment_sum_planned,
         )
 
         if isinstance(plan, ShardedSegsumPlan):
             return sharded_sorted_segment_sum(msgs, ids, n, plan)
+        if isinstance(plan, ShardedRankedPlan):
+            return sharded_ranked_segment_sum(msgs, ids, n, plan, aux=aux)
         if isinstance(plan, RankedSegsumPlan):
             return ranked_segment_sum(msgs, ids, n, plan, aux=aux)
         return sorted_segment_sum_planned(msgs, ids, n, plan)

@@ -624,6 +624,142 @@ def ranked_segment_sum(
     return jnp.where(seg_found[:, None], out, 0.0)
 
 
+class ShardedRankedPlan(NamedTuple):
+    """Host-made plan for the RANK-SPACE reduction on a device mesh — the
+    missing quadrant of the plan matrix: DYNAMIC sorted layouts (the
+    diffusion-rebuilt modality item direction) on multi-chip runs, which
+    previously regressed to the XLA scatter (round-4 gap).
+
+    SPMD shape: the body is one program per shard, so all sizing is static
+    by pigeonhole — a shard of ``s`` sorted edges spans at most
+    ``min(s, num_segments + 1)`` ranks (+1 for the shared sentinel rank),
+    no data inspection needed. Each shard reduces its edge slice into a
+    LOCAL rank-space buffer at its first rank's dynamic offset (piecewise
+    when the VMEM cap demands), inverts rank -> segment against its OWN
+    buffer (rows it never touched are zero, so out-of-shard segments
+    contribute nothing), and a ``psum`` over the edge axes merges the
+    (num_segments, d) partials — a rank split across two shards sums
+    correctly because both place their partial at the same segment row.
+
+    Fields:
+      mesh / axes: the Mesh and the axis names the edge dim is split over.
+      pieces: static ``(lo, hi)`` ranges WITHIN each shard's local slice
+        (identical for every shard — SPMD), each VMEM-gated by edge count.
+      local_rows: static rank-buffer rows per shard (span bound + piece
+        slack + kernel chunk slack — dynamic_update_slice must never clamp).
+      nnz: global padded edge count the plan was made for.
+      chunk: kernel chunk (edges per one-hot MXU matmul).
+    """
+
+    mesh: Any
+    axes: tuple
+    pieces: tuple
+    local_rows: int
+    nnz: int
+    chunk: int
+
+
+def make_sharded_ranked_plan(
+    nnz: int,
+    num_segments: int,
+    d: int,
+    mesh,
+    axes: tuple,
+    chunk: int = 512,
+    max_edges_per_piece: int | None = None,
+):
+    """Plan the mesh rank-space reduction for ANY sorted id layout of
+    ``nnz`` (padded) edges — purely shape-based, like :func:`make_ranked_plan`.
+    Returns None when the edge dim doesn't divide the shards or even a
+    single chunk cannot fit VMEM."""
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
+    if nnz % n_shards:
+        return None
+    s = nnz // n_shards
+    cap = max_segments_in_vmem(d, chunk) - chunk
+    if cap <= 0:
+        return None
+    if max_edges_per_piece is not None:
+        cap = min(cap, max_edges_per_piece)
+    pieces = tuple((lo, min(lo + cap, s)) for lo in range(0, max(s, 1), cap))
+    # rank span per shard: <= s by pigeonhole, <= num_segments + 1 globally
+    # (all sentinels share one rank). Multi-piece placement offsets are
+    # bounded by the span; add the largest piece + chunk so the local
+    # dynamic_update_slice windows always fit without clamping.
+    span = min(s, num_segments + 1)
+    max_piece = max(hi - lo for lo, hi in pieces)
+    local_rows = span + max_piece + chunk
+    return ShardedRankedPlan(
+        mesh=mesh, axes=tuple(axes), pieces=pieces,
+        local_rows=local_rows, nnz=nnz, chunk=chunk,
+    )
+
+
+def sharded_ranked_segment_sum(
+    msgs: jax.Array,
+    seg_ids: jax.Array,
+    num_segments: int,
+    plan: ShardedRankedPlan,
+    interpret: bool | None = None,
+    aux: tuple | None = None,
+) -> jax.Array:
+    """Mesh form of :func:`ranked_segment_sum` per a
+    :class:`ShardedRankedPlan`. Contract matches the single-device form:
+    ids sorted ascending (ANY layout), out-of-range ids are padding with
+    zero message rows; ``aux`` is the hoisted :func:`make_rank_aux` result
+    (None computes it inline — the cumsum/searchsorted run sharded)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    nnz, d = msgs.shape
+    assert nnz == plan.nnz, (nnz, plan.nnz)
+    ranks, seg_rank, seg_found = (
+        aux if aux is not None else make_rank_aux(seg_ids, num_segments)
+    )
+    local_rows = plan.local_rows
+    chunk = plan.chunk
+
+    def local(msgs_l, ranks_l, seg_rank_r, seg_found_r):
+        r0 = ranks_l[0]
+        if len(plan.pieces) == 1:
+            buf = sorted_segment_sum(
+                msgs_l, ranks_l - r0, local_rows, chunk, interpret
+            )
+        else:
+            buf = jnp.zeros((local_rows, d), jnp.float32)
+            for lo, hi in plan.pieces:
+                rows_p = (hi - lo) + chunk
+                rp = ranks_l[lo]
+                out_p = sorted_segment_sum(
+                    msgs_l[lo:hi], ranks_l[lo:hi] - rp, rows_p, chunk,
+                    interpret,
+                )
+                cur = jax.lax.dynamic_slice(buf, (rp - r0, 0), (rows_p, d))
+                buf = jax.lax.dynamic_update_slice(
+                    buf, cur + out_p, (rp - r0, 0)
+                )
+        # rank -> segment inversion against the LOCAL buffer only: rows this
+        # shard never wrote are zero, so segments outside its rank window
+        # contribute nothing and the psum below is exact.
+        rel = seg_rank_r - r0
+        in_win = (rel >= 0) & (rel < local_rows) & seg_found_r
+        out = buf.take(jnp.clip(rel, 0, local_rows - 1), axis=0)
+        out = jnp.where(in_win[:, None], out, 0.0)
+        return jax.lax.psum(out, plan.axes)
+
+    return shard_map(
+        local,
+        mesh=plan.mesh,
+        in_specs=(P(plan.axes, None), P(plan.axes), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(msgs, ranks, seg_rank, seg_found)
+
+
 def spans_fit(ids_sorted, num_segments: int, chunk: int = 512) -> bool:
     """Host-side correctness gate: every fixed [k*chunk, (k+1)*chunk) window
     of the sorted ids must span < chunk distinct positions (entries with

@@ -99,6 +99,26 @@ def _shard_adj(adj: BiAdj, mesh: Mesh) -> BiAdj:
     )
 
 
+def _place_train_store(store, mesh: Mesh):
+    """Dense store: catalog columns over the model axis (it is the largest
+    array of the dense regime). CSR store: replicated — its arrays are
+    O(nnz)/O(U) (400 MB at 100M edges vs the 20+ GB dense matrix they
+    replace), and every consumer gathers them at data-dependent positions
+    (span reads, binary-search probes), which sharded operands would turn
+    into per-access collectives."""
+    from diffmm_tpu.data.membership import TrainCSR, make_train_csr
+
+    if isinstance(store, TrainCSR):
+        rep = replicated(mesh)
+        return make_train_csr(
+            jax.device_put(store.cols, rep),
+            jax.device_put(store.offsets, rep),
+            jax.device_put(store.degrees, rep),
+            store.k_max,
+        )
+    return jax.device_put(store, catalog_sharded_or_replicated(store, mesh))
+
+
 def shard_device_data(data: DeviceData, mesh: Mesh) -> DeviceData:
     """Place a :class:`DeviceData` according to the layout above."""
     rep = replicated(mesh)
@@ -109,9 +129,7 @@ def shard_device_data(data: DeviceData, mesh: Mesh) -> DeviceData:
         train_cols=jax.device_put(data.train_cols, edge),
         user_degrees=jax.device_put(data.user_degrees, rep),
         csr_offsets=jax.device_put(data.csr_offsets, rep),
-        train_dense=jax.device_put(
-            data.train_dense, catalog_sharded_or_replicated(data.train_dense, mesh)
-        ),
+        train_store=_place_train_store(data.train_store, mesh),
         raw_feats=[jax.device_put(f, rep) for f in data.raw_feats],
         test_users=jax.device_put(data.test_users, rep),
         test_items=jax.device_put(data.test_items, rep),

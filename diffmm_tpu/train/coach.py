@@ -214,10 +214,27 @@ class Coach:
             bytes_per_cell=bytes_per_cell,
         )
 
+        store_cfg = config.train.train_store
+        if store_cfg == "auto":
+            # dense MXU graphs already spend the O(U·I) budget, so the
+            # contiguous-row dense store is free to keep; the sparse form
+            # exists because O(U·I) does NOT fit — its membership must be
+            # O(nnz) too or the form's web-scale claim is void
+            self.train_store_form = "dense" if self.dense_graphs else "csr"
+        elif store_cfg in ("dense", "csr"):
+            self.train_store_form = store_cfg
+        else:
+            raise ValueError(
+                f"train.train_store must be auto|dense|csr, got {store_cfg!r}"
+            )
         if device is not None:
             self.data = device
         else:
-            self.data = to_device(host, with_sparse_adj=not self.dense_graphs)
+            self.data = to_device(
+                host,
+                with_sparse_adj=not self.dense_graphs,
+                train_store=self.train_store_form,
+            )
         if mesh is not None:
             check_batch_divisibility(config.train.batch, mesh)
             check_batch_divisibility(config.train.test_batch, mesh)
@@ -272,6 +289,7 @@ class Coach:
             segsum_plans=self.segsum_plans,
             rebuild_plan=self.rebuild_plan,
             modal_item_plan=self.modal_item_plan,
+            item_num=host.item_num,
         )
         if config.train.epoch_scan < 1:
             raise ValueError(
@@ -307,6 +325,7 @@ class Coach:
         self.log.info(f"NUM OF INTERACTIONS: {host.nnz}")
         self.log.info(
             f"Graph form: {'dense (MXU)' if self.dense_graphs else 'sparse (segment_sum)'}"
+            f" | train store: {self.train_store_form}"
         )
         if host.synthesized:
             self.log.info(
@@ -534,24 +553,43 @@ class Coach:
         the item-major layout is dynamic; reference `Main.py:195-253`).
         The rank-space reduction (ops/pallas/segsum.py::RankedSegsumPlan)
         is exact for EVERY sorted layout by pigeonhole, so it only needs
-        the static padded edge count. Single-device only for now — mesh
-        runs keep the XLA scatter on this direction (the sharded plan's
-        uniform-window contract would need per-shard rank offsets)."""
+        the static padded edge count. On a mesh the shard_map form
+        (ShardedRankedPlan: per-shard rank-space kernels + local
+        rank->segment inversion + psum) covers the same direction, so the
+        multi-chip sparse configuration no longer regresses this direction
+        to the XLA scatter (round-4 gap #2)."""
         import os
 
         mode = os.environ.get("DIFFMM_SEGSUM")
-        if self.dense_graphs or mode == "xla" or self.mesh is not None:
+        if self.dense_graphs or mode == "xla":
             return None
         if jax.default_backend() in ("cpu",) and mode != "mxu":
             return None
         from diffmm_tpu.data.loader import pad_edges
-        from diffmm_tpu.ops.pallas.segsum import make_ranked_plan
 
         host = self.host
         rows_p, _ = pad_edges(
             host.train_rows, host.train_cols, host.user_num, host.item_num
         )
         chunk = int(os.environ.get("DIFFMM_SEGSUM_CHUNK", "512"))
+        if self.mesh is not None:
+            from diffmm_tpu.ops.pallas.segsum import make_sharded_ranked_plan
+            from diffmm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            plan = make_sharded_ranked_plan(
+                len(rows_p), host.item_num, self.config.base.latdim,
+                self.mesh, (DATA_AXIS, MODEL_AXIS), chunk=chunk,
+            )
+            if plan is not None:
+                self.log.info(
+                    "Sparse SpMM: rank-space MXU reduction over the mesh "
+                    "for the rebuilt modality item direction "
+                    f"({len(plan.pieces)} pieces/shard, "
+                    f"{plan.local_rows} rank rows/shard)"
+                )
+            return plan
+        from diffmm_tpu.ops.pallas.segsum import make_ranked_plan
+
         plan = make_ranked_plan(
             len(rows_p), self.config.base.latdim, chunk=chunk
         )
@@ -637,7 +675,7 @@ class Coach:
         # Phase 0: negative sampling (reference Main.py:137)
         with self.timer.phase("neg_sampling"):
             negs = negative_sampling(
-                self._next_key(), data.train_rows, data.train_dense, self.host.item_num
+                self._next_key(), data.train_rows, data.train_store, self.host.item_num
             )
             if fence:
                 jax.block_until_ready(negs)
@@ -661,7 +699,7 @@ class Coach:
                 self.dn_opt_states,
                 self.gcn_params,
                 data.raw_feats,
-                data.train_dense,
+                data.train_store,
                 users_blocks,
                 weight_blocks,
                 jax.random.split(self._next_key(), n_diff_blocks),
@@ -691,7 +729,7 @@ class Coach:
         with self.timer.phase("rebuild"):
             edge_buffers = self.steps.rebuild_epoch(
                 self.dn_params,
-                data.train_dense,
+                data.train_store,
                 self._reb_blocks_device(),
                 jax.random.split(self._next_key(), self.n_reb_blocks),
                 # traced scalar: sweeps change it without a retrace; inside
@@ -935,7 +973,7 @@ class Coach:
         with self.timer.phase("fused"), self._donation_guard():
             common = (
                 self.key, self.dn_params, self.dn_opt_states, self.gcn_params,
-                self.gcn_opt_state, bufs0, data.raw_feats, data.train_dense,
+                self.gcn_opt_state, bufs0, data.raw_feats, data.train_store,
                 data.train_rows, data.train_cols, data.adj,
                 put3(diff_users), weight_blocks, reb_users, put3(joint_perms),
                 jnp.asarray(lrs),
@@ -1033,12 +1071,12 @@ class Coach:
         gcn_forward = self.steps.gcn_forward
         eval_prog = self.eval_prog
 
-        def eval_fn(g, modal_adjs, adj, raw_feats, train_dense, hp,
+        def eval_fn(g, modal_adjs, adj, raw_feats, train_store, hp,
                     eval_inputs):
             users, valid, t_items, t_counts, cum_dcg = eval_inputs
             u_final, i_final = gcn_forward(g, adj, tuple(modal_adjs),
                                            raw_feats, hp)
-            return eval_prog(u_final, i_final, users, valid, train_dense,
+            return eval_prog(u_final, i_final, users, valid, train_store,
                              t_items, t_counts, cum_dcg)
 
         return eval_fn
@@ -1126,7 +1164,7 @@ class Coach:
                     i_final,
                     self._put_blocks(users.reshape(nb, batch)),
                     self._put_blocks(valid_dev.reshape(nb, batch)),
-                    data.train_dense,
+                    data.train_store,
                     self._put_blocks(t_items.reshape(nb, batch, -1)),
                     self._put_blocks(t_counts.reshape(nb, batch)),
                     self.cum_dcg,

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from diffmm_tpu.config import Config
+from diffmm_tpu.data.membership import gather_rows
 from diffmm_tpu.diffusion.gaussian import generate_view, training_losses
 from diffmm_tpu.diffusion.schedule import DiffusionSchedule
 from diffmm_tpu.models.gcn import gcn_mm, project_features
@@ -61,6 +62,7 @@ def make_train_steps(
     segsum_plans: tuple = (None, None),
     rebuild_plan=None,
     modal_item_plan=None,
+    item_num: int | None = None,
 ) -> TrainSteps:
     """``segsum_plans = (user_dir_plan, item_dir_plan)``: host-made plans for
     the MXU sorted-segment-sum on the sparse graph form (None = XLA scatter).
@@ -76,6 +78,12 @@ def make_train_steps(
     global ``k_max``. None keeps the identity order."""
     hyper = config.hyper
     train_cfg = config.train
+    if item_num is None:
+        # static catalog size for the membership-store row materialization
+        # (config.data.item_num is filled by the loader before Coach builds
+        # the steps); explicit arg for direct/test construction
+        item_num = config.data.item_num
+    assert item_num > 0, "make_train_steps needs the catalog size"
     if train_cfg.rebuild_topk not in ("approx", "exact"):
         raise ValueError(
             f"train.rebuild_topk must be approx|exact, got "
@@ -177,17 +185,18 @@ def make_train_steps(
         return losses
 
     def _diffusion_block(dn_params_list, dn_opt_states, gcn_params, raw_feats,
-                         train_dense, users, weights, key, lr, hp):
+                         train_store, users, weights, key, lr, hp):
         """One optimizer step for every denoiser on one user-row block.
 
-        ``users`` indexes rows of the int8 dense train matrix (gathered and
-        cast on device — the reference streams pre-materialized dense f32
-        rows through a DataLoader, `DataHandler.py:128,211-228`). ``weights``
-        is the (B,) validity mask for padded rows — the masked mean
-        reproduces the reference's plain mean over its (possibly short)
-        final batch.
+        ``users`` selects rows of the train membership store — a gather
+        from the dense int8 matrix, or a per-block CSR materialization on
+        the O(nnz) store (data/membership.py; bit-identical rows — the
+        reference streams pre-materialized dense f32 rows through a
+        DataLoader, `DataHandler.py:128,211-228`). ``weights`` is the (B,)
+        validity mask for padded rows — the masked mean reproduces the
+        reference's plain mean over its (possibly short) final batch.
         """
-        x0 = train_dense.take(users, axis=0).astype(jnp.float32)
+        x0 = gather_rows(train_store, users, item_num)
 
         def loss_fn(dn_list):
             losses = _modal_losses(dn_list, gcn_params, raw_feats, x0, weights, key, hp)
@@ -214,7 +223,7 @@ def make_train_steps(
     _donate = (0, 1) if train_cfg.donate_buffers else ()
 
     def _diffusion_epoch(dn_params_list, dn_opt_states, gcn_params, raw_feats,
-                        train_dense, users_blocks, weight_blocks, keys, lr, hp):
+                        train_store, users_blocks, weight_blocks, keys, lr, hp):
         """All diffusion blocks of one epoch as a single compiled scan —
         one dispatch instead of one per block. ``users_blocks`` /
         ``weight_blocks`` / ``keys`` carry a leading (n_blocks,) dim.
@@ -228,7 +237,7 @@ def make_train_steps(
             dn, states, acc = carry
             users, weights, key = xs
             dn, states, losses = _diffusion_block(
-                dn, states, gcn_params, raw_feats, train_dense, users, weights,
+                dn, states, gcn_params, raw_feats, train_store, users, weights,
                 key, lr, hp,
             )
             acc = (acc + losses) / jnp.maximum(jnp.sum(losses), 1e-12)
@@ -245,12 +254,12 @@ def make_train_steps(
     diffusion_epoch = jax.jit(_diffusion_epoch, donate_argnums=_donate)
 
     # ---------------------------------------------------------------- phase 2
-    def _rebuild_block_tables(dn_params_list, train_dense, users, key,
+    def _rebuild_block_tables(dn_params_list, train_store, users, key,
                               sampling_step, k_table=None):
         """Reverse-diffuse a user block per modality -> value-sorted
         (B, k_table) top-index tables (one per modality; default width =
         the global ``k_max``)."""
-        x0 = train_dense.take(users, axis=0).astype(jnp.float32)
+        x0 = gather_rows(train_store, users, item_num)
         keys = jax.random.split(key, n_modal)
         tables = []
         for m in range(n_modal):
@@ -279,7 +288,7 @@ def make_train_steps(
     plan_starts = rebuild_plan.row_starts if rebuild_plan is not None else ()
 
     @jax.jit
-    def rebuild_epoch(dn_params_list, train_dense, users_blocks, keys,
+    def rebuild_epoch(dn_params_list, train_store, users_blocks, keys,
                       sampling_step, row_of_pos, lane_of_pos, pad_mask,
                       item_num):
         """All rebuild blocks of one epoch, one scan per top-k width.
@@ -318,7 +327,7 @@ def make_train_steps(
             def body(_, xs, k_b=k_b):
                 users, key = xs
                 return None, _rebuild_block_tables(
-                    dn_params_list, train_dense, users, key, sampling_step,
+                    dn_params_list, train_store, users, key, sampling_step,
                     k_table=k_b,
                 )
 
@@ -522,7 +531,7 @@ def make_epochs_fused(
     single-epoch path establishes with device_put between phases (here as
     in-program ``with_sharding_constraint``).
 
-    ``eval_fn(g, modal_adjs, adj, raw_feats, train_dense, hp, eval_inputs)``
+    ``eval_fn(g, modal_adjs, adj, raw_feats, train_store, hp, eval_inputs)``
     (optional) runs the full-catalog ranking eval in-program and returns
     the (3,) Recall/NDCG/Precision SUM vector. With it, the returned
     program takes per-epoch eval flags plus the eval block bundle,
@@ -538,7 +547,7 @@ def make_epochs_fused(
 
     def _epoch_body(key, dn, dno, g, go, xs, invariants):
         (du, jp, lr) = xs
-        (raw_feats, train_dense, train_rows, train_cols, adj, weight_blocks,
+        (raw_feats, train_store, train_rows, train_cols, adj, weight_blocks,
          reb_users, hp, sampling_step, u_of_pos, lane_of_pos, pad_mask) = invariants
         nb_d = du.shape[0]
         # reb_users is a per-bucket tuple under rebuild_order="degree"
@@ -550,15 +559,15 @@ def make_epochs_fused(
         nb_j = jp.shape[0]
         # split order == Coach._next_key call order in train_epoch
         key, k_neg = jax.random.split(key)
-        negs = negative_sampling(k_neg, train_rows, train_dense, item_num)
+        negs = negative_sampling(k_neg, train_rows, train_store, item_num)
         key, k_diff = jax.random.split(key)
         dn, dno, modal_acc = steps.diffusion_epoch(
-            dn, dno, g, raw_feats, train_dense, du, weight_blocks,
+            dn, dno, g, raw_feats, train_store, du, weight_blocks,
             jax.random.split(k_diff, nb_d), lr, hp,
         )
         key, k_reb = jax.random.split(key)
         bufs = steps.rebuild_epoch(
-            dn, train_dense, reb_users, jax.random.split(k_reb, nb_r),
+            dn, train_store, reb_users, jax.random.split(k_reb, nb_r),
             sampling_step, u_of_pos, lane_of_pos, pad_mask, item_num,
         )
         bufs = tuple(cbuf(b) for b in bufs)
@@ -583,11 +592,11 @@ def make_epochs_fused(
     @functools.partial(jax.jit, donate_argnums=_donate_fused)
     def epochs_fused(
         key, dn_params, dn_opt_states, gcn_params, gcn_opt_state, bufs0,
-        raw_feats, train_dense, train_rows, train_cols, adj,
+        raw_feats, train_store, train_rows, train_cols, adj,
         diff_users, weight_blocks, reb_users, joint_perms,
         lrs, hp, sampling_step, u_of_pos, lane_of_pos, pad_mask,
     ):
-        invariants = (raw_feats, train_dense, train_rows, train_cols, adj,
+        invariants = (raw_feats, train_store, train_rows, train_cols, adj,
                       weight_blocks, reb_users, hp, sampling_step,
                       u_of_pos, lane_of_pos, pad_mask)
 
@@ -610,12 +619,12 @@ def make_epochs_fused(
     @functools.partial(jax.jit, donate_argnums=_donate_fused)
     def epochs_fused_eval(
         key, dn_params, dn_opt_states, gcn_params, gcn_opt_state, bufs0,
-        raw_feats, train_dense, train_rows, train_cols, adj,
+        raw_feats, train_store, train_rows, train_cols, adj,
         diff_users, weight_blocks, reb_users, joint_perms,
         lrs, eval_flags, eval_inputs, hp, sampling_step,
         u_of_pos, lane_of_pos, pad_mask,
     ):
-        invariants = (raw_feats, train_dense, train_rows, train_cols, adj,
+        invariants = (raw_feats, train_store, train_rows, train_cols, adj,
                       weight_blocks, reb_users, hp, sampling_step,
                       u_of_pos, lane_of_pos, pad_mask)
 
@@ -629,7 +638,7 @@ def make_epochs_fused(
             # the eval branch's collectives stay aligned under SPMD
             sums = jax.lax.cond(
                 do_eval,
-                lambda: eval_fn(g, modal_adjs, adj, raw_feats, train_dense,
+                lambda: eval_fn(g, modal_adjs, adj, raw_feats, train_store,
                                 hp, eval_inputs),
                 lambda: jnp.full((3,), jnp.nan, jnp.float32),
             )

@@ -91,3 +91,40 @@ def test_sharded_eval_epoch_parity_and_no_full_catalog_gather(mesh8, rng):
     for line in text.splitlines():
         if "all-gather" in line:
             assert not re.search(rf"f32\[\d+,{n_item}\]", line), line
+
+
+def _csr_of_dense(dense):
+    from diffmm_tpu.data.membership import make_train_csr
+
+    d = np.asarray(dense)
+    rows, cols = np.nonzero(d)
+    deg = np.bincount(rows, minlength=d.shape[0]).astype(np.int32)
+    off = np.concatenate([[0], np.cumsum(deg[:-1])]).astype(np.int32)
+    return make_train_csr(
+        jnp.asarray(cols.astype(np.int32)), jnp.asarray(off),
+        jnp.asarray(deg), int(deg.max()),
+    )
+
+
+def test_sharded_topk_csr_store_matches_dense(mesh8, rng):
+    """CSR membership store on the mesh: every shard scatters only its
+    catalog range of each user's seen list — same ids as the dense-mask
+    path (VERDICT r4 #1: no O(U·I) operand in the sharded eval)."""
+    topk = 5
+    u_final, i_final, dense, users = _random_inputs(rng, topk=topk)
+    csr = _csr_of_dense(dense)
+    u = u_final.take(users, axis=0)
+    sharded = make_score_topk(topk, mesh8)
+    a = np.asarray(jax.jit(sharded)(u, i_final, dense, users))
+    b = np.asarray(jax.jit(sharded)(u, i_final, csr, users))
+    np.testing.assert_array_equal(a, b)
+
+    # HLO of the CSR form: nothing materializes a (B, n_item) f32 mask or
+    # score tensor outside the per-shard half-width blocks
+    text = (
+        jax.jit(sharded).lower(u, i_final, csr, users).compile().as_text()
+    )
+    n_item = i_final.shape[0]
+    for line in text.splitlines():
+        if "all-gather" in line:
+            assert not re.search(rf"f32\[\d+,{n_item}\]", line), line

@@ -45,12 +45,12 @@ def test_shard_batch_even_split(mesh8):
 def test_shard_device_data_layout(mesh8, tiny_data):
     dev = shard_device_data(to_device(tiny_data), mesh8)
     # catalog axis of the dense train matrix is model-sharded
-    spec = dev.train_dense.sharding.spec
+    spec = dev.train_store.sharding.spec
     assert spec[1] == MODEL_AXIS
     # edges ride the data axis
     assert dev.adj.ui_rows.sharding.spec[0] == DATA_AXIS
     np.testing.assert_array_equal(
-        np.asarray(dev.train_dense), tiny_data.train_dense
+        np.asarray(dev.train_store), tiny_data.train_dense
     )
 
 

@@ -50,8 +50,6 @@ def _skew(host, user=0, target_degree=40):
     rows, cols = rows[order].astype(np.int32), cols[order].astype(np.int32)
     degrees = np.bincount(rows, minlength=host.user_num).astype(np.int32)
     offsets = np.concatenate([[0], np.cumsum(degrees[:-1])]).astype(np.int32)
-    dense = np.zeros((host.user_num, host.item_num), dtype=np.int8)
-    dense[rows, cols] = 1
     return dataclasses.replace(
         host,
         train_rows=rows,
@@ -59,7 +57,7 @@ def _skew(host, user=0, target_degree=40):
         user_degrees=degrees,
         csr_offsets=offsets,
         k_max=int(degrees.max()),
-        train_dense=dense,
+        _train_dense=None,  # lazily rebuilt from the new edges on demand
     )
 
 

@@ -13,7 +13,7 @@ def test_negatives_avoid_train_items(tiny_data):
         negative_sampling(
             jax.random.PRNGKey(0),
             data.train_rows,
-            data.train_dense,
+            data.train_store,
             tiny_data.item_num,
         )
     )
@@ -32,13 +32,13 @@ def test_negatives_vary_with_key(tiny_data):
     data = to_device(tiny_data)
     a = np.asarray(
         negative_sampling(
-            jax.random.PRNGKey(1), data.train_rows, data.train_dense,
+            jax.random.PRNGKey(1), data.train_rows, data.train_store,
             tiny_data.item_num,
         )
     )
     b = np.asarray(
         negative_sampling(
-            jax.random.PRNGKey(2), data.train_rows, data.train_dense,
+            jax.random.PRNGKey(2), data.train_rows, data.train_store,
             tiny_data.item_num,
         )
     )

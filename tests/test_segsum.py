@@ -347,6 +347,13 @@ def test_sparse_mesh_epoch_parity(tiny_config, tiny_data, monkeypatch):
     c_mesh = Coach(copy.deepcopy(cfg), tiny_data, mesh=_mesh8())
     assert c_mesh.segsum_plans[0] is not None, "mesh run silently unplanned"
     assert c_mesh.segsum_plans[1] is not None
+    # round-4 gap #2: the DYNAMIC modality item direction must also be
+    # planned on the mesh (rank-space shard_map form), not XLA scatter
+    from diffmm_tpu.ops.pallas.segsum import ShardedRankedPlan
+
+    assert isinstance(c_mesh.modal_item_plan, ShardedRankedPlan), (
+        "mesh sparse run regressed the modality item direction to scatter"
+    )
     r_mesh = c_mesh.train_epoch(0)
     e_mesh = c_mesh.test_epoch()
 
@@ -407,3 +414,78 @@ def test_plan_edge_budget(rng):
     plan = make_segsum_plan(hub, 50, d=8, chunk=64, max_edges_per_piece=1000)
     assert plan is not None
     assert plan.pieces[0][2] == 0 and plan.pieces[0][3] == 1  # the hub rides alone
+
+
+def test_sharded_ranked_matches_segment_sum(rng):
+    """Mesh rank-space form (ShardedRankedPlan) == XLA segment_sum on
+    gap-bearing DYNAMIC layouts — single- and multi-piece, sentinel tail,
+    ids straddling shard boundaries (psum merges the split-rank partials)."""
+    from diffmm_tpu.ops.pallas.segsum import (
+        make_sharded_ranked_plan,
+        sharded_ranked_segment_sum,
+    )
+    from diffmm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    mesh = _mesh8()
+    axes = (DATA_AXIS, MODEL_AXIS)
+    num_segments = 300
+    real = np.sort(rng.integers(0, num_segments, 968)).astype(np.int32)
+    ids = np.concatenate([real, np.full(56, num_segments, np.int32)])
+    msgs = rng.standard_normal((1024, 8)).astype(np.float32)
+    msgs[968:] = 0.0
+    want = np.asarray(
+        jax.ops.segment_sum(
+            jnp.asarray(msgs[:968]), jnp.asarray(real),
+            num_segments=num_segments,
+        )
+    )
+    for cap in (None, 40):  # single piece per shard / 4 pieces per shard
+        plan = make_sharded_ranked_plan(
+            len(ids), num_segments, 8, mesh, axes, chunk=64,
+            max_edges_per_piece=cap,
+        )
+        assert plan is not None
+        if cap:
+            assert len(plan.pieces) >= 3
+        got = np.asarray(
+            sharded_ranked_segment_sum(
+                jnp.asarray(msgs), jnp.asarray(ids), num_segments, plan,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_ranked_hub_segment(rng):
+    """One hub id owning several whole shards: every shard's partial for
+    the shared rank lands on the same segment row and the psum adds them."""
+    from diffmm_tpu.ops.pallas.segsum import (
+        make_sharded_ranked_plan,
+        sharded_ranked_segment_sum,
+    )
+    from diffmm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    mesh = _mesh8()
+    axes = (DATA_AXIS, MODEL_AXIS)
+    num_segments = 50
+    ids = np.sort(
+        np.concatenate([
+            np.zeros(600, np.int32),  # hub: spans shards 0..4
+            rng.integers(1, num_segments, 424).astype(np.int32),
+        ])
+    )
+    msgs = rng.standard_normal((1024, 8)).astype(np.float32)
+    plan = make_sharded_ranked_plan(len(ids), num_segments, 8, mesh, axes,
+                                    chunk=64)
+    got = np.asarray(
+        sharded_ranked_segment_sum(
+            jnp.asarray(msgs), jnp.asarray(ids), num_segments, plan,
+            interpret=True,
+        )
+    )
+    want = np.asarray(
+        jax.ops.segment_sum(
+            jnp.asarray(msgs), jnp.asarray(ids), num_segments=num_segments
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

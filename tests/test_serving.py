@@ -99,7 +99,7 @@ def test_export_serves_best_epoch_not_final(tmp_path):
             index.i_final,
             jnp.asarray(host.test_users),
             jnp.ones(len(host.test_users), dtype=bool),
-            coach.data.train_dense,
+            coach.data.train_store,
             jnp.asarray(host.test_items),
             jnp.asarray(host.test_counts),
             dcg_table(cfg.base.topk),

@@ -55,7 +55,7 @@ def _phase_args(coach):
     dkeys = jax.random.split(jax.random.PRNGKey(0), nb_d)
     diff_args = (
         coach.dn_params, coach.dn_opt_states, coach.gcn_params,
-        data.raw_feats, data.train_dense, users_blocks, weight_blocks,
+        data.raw_feats, data.train_store, users_blocks, weight_blocks,
         dkeys, lr, hp,
     )
 
