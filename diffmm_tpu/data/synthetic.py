@@ -41,12 +41,18 @@ def make_synthetic_host_data(
     dims = feat_dims or [16, 24, 16][: len(mods)]
 
     affinity = None
+    z_u = z_i = None
     if structure_rank is not None:
-        assert user_num * item_num <= 2 * 10**8, (
-            "structured mode materializes the (U, I) affinity matrix on host"
-        )
         z_u = rng.standard_normal((user_num, structure_rank))
         z_i = rng.standard_normal((item_num, structure_rank))
+        if user_num * item_num > 2 * 10**8:
+            # large structured shapes (the sports-scale accuracy regression):
+            # never materialize the (U, I) affinity — draw edges and the
+            # held-out test items per USER BLOCK from the same latent model
+            return _structured_large(
+                config, rng, user_num, item_num, density, test_per_user,
+                mods, dims, z_u, z_i, structure_rank,
+            )
         affinity = z_u @ z_i.T / np.sqrt(structure_rank)  # (U, I), ~N(0,1)
 
     if user_num * item_num <= 2 * 10**8:
@@ -143,6 +149,55 @@ def make_synthetic_host_data(
     return _assemble(
         config, user_num, item_num, mods, dims, rows, cols, degrees,
         offsets, dense, raw_feats, test_users, test_items, test_counts,
+    )
+
+
+def _structured_large(
+    config, rng, user_num, item_num, density, test_per_user, mods, dims,
+    z_u, z_i, structure_rank,
+) -> HostData:
+    """Structured (low-rank preference) synthetic at shapes where the
+    (U, I) affinity cannot be materialized: process users in blocks —
+    per block, compute the affinity slab, take each user's top-k items as
+    train edges (k = the expected degree at ``density``) and the next
+    ``test_per_user`` as held-out test items. Deterministic given the rng;
+    train edges come out user-major with ascending items (CSR contract)."""
+    k_train = max(1, int(round(item_num * density)))
+    blk = max(1, (64 << 20) // (item_num * 8))  # ~64 MB f64 slab per block
+    rows_parts, cols_parts, test_parts = [], [], []
+    scale = 1.0 / np.sqrt(structure_rank)
+    for lo in range(0, user_num, blk):
+        hi = min(lo + blk, user_num)
+        aff = (z_u[lo:hi] @ z_i.T) * scale
+        aff += rng.gumbel(0, 0.25, aff.shape)  # same noise recipe as small
+        top = np.argpartition(-aff, k_train + test_per_user - 1, axis=1)[
+            :, : k_train + test_per_user
+        ]
+        order = np.take_along_axis(aff, top, axis=1).argsort(axis=1)[:, ::-1]
+        top = np.take_along_axis(top, order, axis=1)
+        train_blk = np.sort(top[:, :k_train], axis=1).astype(np.int32)
+        test_parts.append(top[:, k_train : k_train + test_per_user].astype(np.int32))
+        rows_parts.append(
+            np.repeat(np.arange(lo, hi, dtype=np.int32), k_train)
+        )
+        cols_parts.append(train_blk.reshape(-1))
+    rows = np.concatenate(rows_parts)
+    cols = np.concatenate(cols_parts)
+    degrees = np.full(user_num, k_train, dtype=np.int32)
+    offsets = (np.arange(user_num, dtype=np.int64) * k_train).astype(np.int32)
+    raw_feats = [
+        (
+            z_i @ rng.standard_normal((structure_rank, d)) / np.sqrt(structure_rank)
+            + 0.3 * rng.standard_normal((item_num, d))
+        ).astype(np.float32)
+        for d in dims
+    ]
+    test_users = np.arange(user_num, dtype=np.int32)
+    test_items = np.concatenate(test_parts, axis=0)
+    test_counts = np.full(user_num, test_per_user, dtype=np.int32)
+    return _assemble(
+        config, user_num, item_num, mods, dims, rows, cols, degrees,
+        offsets, None, raw_feats, test_users, test_items, test_counts,
     )
 
 
