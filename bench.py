@@ -125,6 +125,7 @@ def main() -> int:
     # epochs) as the sparse headline row.
     sparse_epoch_s = None
     sparse_fused_epoch_s = None
+    sparse_train_store = None
     if os.environ.get("BENCH_SPARSE", "1") != "0":
         import copy
 
@@ -137,6 +138,7 @@ def main() -> int:
             "BENCH_SPARSE_COMPUTE", "bf16"
         )
         s_coach = Coach(s_config, host, log=log)
+        sparse_train_store = s_coach.train_store_form
         s_times = []
         for ep in range(max(3, epochs // 2)):
             t0 = time.perf_counter()
@@ -241,6 +243,10 @@ def main() -> int:
                         round(sparse_fused_epoch_s, 3)
                         if sparse_fused_epoch_s else None
                     ),
+                    # round 5: the sparse rows run the O(nnz) CSR membership
+                    # store (train.train_store auto) — the form's actual
+                    # web-scale configuration; r4 sparse rows were dense-store
+                    "sparse_train_store": sparse_train_store,
                     "baseline": "torch-CPU reference epoch (bench_baseline.json)",
                     "baseline_epoch_seconds": ref_epoch_s,
                     "device": "default jax device",
