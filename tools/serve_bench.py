@@ -63,9 +63,21 @@ def _synthesize_index(spec: str) -> str:
     return path
 
 
-def _wait_health(base: str, deadline_s: float = 600.0) -> dict:
+def _wait_health(
+    base: str,
+    server: subprocess.Popen | None = None,
+    deadline_s: float = 600.0,
+) -> dict:
     t0 = time.time()
     while time.time() - t0 < deadline_s:
+        if server is not None and server.poll() is not None:
+            # fail fast instead of polling a corpse for the full deadline
+            # (observed: a mesh-validation error in the child left this
+            # loop spinning 600 s)
+            raise SystemExit(
+                f"server exited with code {server.returncode} before "
+                "becoming healthy — see its stderr above"
+            )
         try:
             with urllib.request.urlopen(f"{base}/health", timeout=5) as r:
                 return json.loads(r.read())
@@ -111,7 +123,7 @@ def main(argv=None) -> int:
     server = subprocess.Popen(cmd, cwd=REPO, env=env)
     base = f"http://127.0.0.1:{args.port}"
     try:
-        health = _wait_health(base)
+        health = _wait_health(base, server)
         users = health["users"]
 
         lat: list[float] = []
