@@ -415,7 +415,10 @@ def pad_edges(
 
 
 def to_device(
-    host: HostData, with_sparse_adj: bool = True, train_store: str = "dense"
+    host: HostData,
+    with_sparse_adj: bool = True,
+    train_store: str = "dense",
+    batch: int = 1024,
 ) -> DeviceData:
     """``with_sparse_adj=False`` skips the host-side sparse adjacency build
     (sorting + iu_perm) for runs on the dense MXU graph form, which replaces
@@ -441,10 +444,16 @@ def to_device(
     if train_store == "dense":
         store = jnp.asarray(host.train_dense)
     elif train_store == "csr":
-        from diffmm_tpu.data.membership import make_train_csr
+        from diffmm_tpu.data.membership import make_train_csr, plan_head_tail
 
+        # head/tail split for the row scatters (power-law degrees make the
+        # uniform k_max pad ~100x the real edges; membership.py docstring)
+        k_cut, heavy_ids = plan_head_tail(
+            host.user_degrees, host.k_max, block=batch
+        )
         store = make_train_csr(
-            train_cols_dev, offsets_dev, degrees_dev, host.k_max
+            train_cols_dev, offsets_dev, degrees_dev, host.k_max,
+            k_cut, heavy_ids,
         )
     else:
         raise ValueError(

@@ -48,18 +48,40 @@ class TrainCSR:
       degrees: (U,) int32 span lengths.
       k_max: static max user degree — bounds the span gather width and the
         binary-search depth.
+      k_cut: static head/tail lane split for :func:`gather_rows`. Degree
+        distributions are power-law (tiktok: p95 = 3, max = 603), so
+        padding EVERY user's span to k_max makes the per-block row scatter
+        ~100× larger than the edges it writes — the round-5 interleaved
+        A/B measured that padding as +155 ms/epoch fused, all of it in the
+        row-building phases (sweeps/store_ab_r5.json; post-split +42 ms,
+        sweeps/store_ab_r5_split.json). The
+        split scatters k_cut lanes for everyone plus a (n_heavy, k_max)
+        fixup for the few users with degree > k_cut (same positions, same
+        value — bit-identical rows). k_cut == k_max disables the split.
+      heavy_ids: (n_heavy,) int32 user ids with degree > k_cut, or None.
+        Only its STATIC length reaches the compiled program (it caps the
+        per-block fixup width); heavy rows are detected block-side from
+        each row's own degree, so duplicate users within a block still get
+        their full rows, and out-of-range pad lanes stay inert (their
+        content is out of contract for both stores — callers mask pad
+        rows, and the dense gather itself fill-values them).
     """
 
     cols: Any
     offsets: Any
     degrees: Any
     k_max: int
+    k_cut: int = None  # type: ignore[assignment]  # None -> k_max (no split)
+    heavy_ids: Any = None
 
 
 jax.tree_util.register_pytree_node(
     TrainCSR,
-    lambda s: ((s.cols, s.offsets, s.degrees), s.k_max),
-    lambda k_max, ch: TrainCSR(ch[0], ch[1], ch[2], k_max),
+    lambda s: (
+        (s.cols, s.offsets, s.degrees, s.heavy_ids),
+        (s.k_max, s.k_cut),
+    ),
+    lambda aux, ch: TrainCSR(ch[0], ch[1], ch[2], aux[0], aux[1], ch[3]),
 )
 
 
@@ -92,17 +114,54 @@ def gather_rows(store: Any, users: jax.Array, item_num: int) -> jax.Array:
     resident). CSR store: span gather + ONE (B, item_num) scatter — the
     dense rows exist only as this block's transient, exactly the rows the
     reference's DiffusionData DataLoader would have streamed
-    (reference `DataHandler.py:211-228`). Bit-identical outputs.
+    (reference `DataHandler.py:211-228`). With a head/tail plan
+    (``k_cut < k_max``) the span gather runs at k_cut lanes for the whole
+    block plus a (n_heavy, k_max − k_cut) fixup for the heavy users —
+    ~8× fewer scattered lanes on power-law degrees, same written
+    positions, same value: bit-identical outputs either way.
     """
     if not isinstance(store, TrainCSR):
         return store.take(users, axis=0).astype(jnp.float32)
-    items, valid = gather_item_lists(store, users)
     b = users.shape[0]
+    k_cut = store.k_cut if store.k_cut is not None else store.k_max
+    split = store.heavy_ids is not None and k_cut < store.k_max
+    width = k_cut if split else store.k_max
+    lanes = jnp.arange(width, dtype=jnp.int32)
+    off = store.offsets.take(users)
+    deg = store.degrees.take(users)
+    pos = off[:, None] + lanes[None, :]
+    valid = lanes[None, :] < deg[:, None]
+    nnz = store.cols.shape[0]
+    items = store.cols.take(jnp.minimum(pos, nnz - 1))
     # invalid lanes -> item_num, dropped by the scatter's bounds check
     items = jnp.where(valid, items, jnp.int32(item_num))
     rows = jnp.zeros((b, item_num), jnp.float32)
     # NOT unique_indices: the dropped invalid lanes share index item_num
-    return rows.at[jnp.arange(b)[:, None], items].set(1.0, mode="drop")
+    rows = rows.at[jnp.arange(b)[:, None], items].set(1.0, mode="drop")
+    if not split:
+        return rows
+    # Heavy fixup, block-side: each row knows from its own gathered degree
+    # whether it needs tail lanes, so duplicate users get their full rows
+    # and out-of-range pad lanes stay inert. Compact the heavy
+    # row indices (ascending sort, pads = b last) and take the first
+    # min(n_heavy, b) — callers' blocks hold distinct real users, so that
+    # cap is exact for them; only pathological duplicate-heavy blocks could
+    # exceed it, and earlier rows win (pad lanes sit at the block tail).
+    h_cap = min(store.heavy_ids.shape[0], b)
+    row_ids = jnp.arange(b, dtype=jnp.int32)
+    rows_sel = jax.lax.sort(jnp.where(deg > k_cut, row_ids, jnp.int32(b)))[
+        :h_cap
+    ]
+    # rows_sel == b (pad slots) clip on these gathers; their lanes are
+    # dropped by the scatter's out-of-bounds row index below
+    off_s = off.take(rows_sel, mode="clip")
+    deg_s = deg.take(rows_sel, mode="clip")
+    tlanes = jnp.arange(k_cut, store.k_max, dtype=jnp.int32)
+    tpos = off_s[:, None] + tlanes[None, :]
+    tvalid = tlanes[None, :] < deg_s[:, None]
+    titems = store.cols.take(jnp.minimum(tpos, nnz - 1))
+    titems = jnp.where(tvalid, titems, jnp.int32(item_num))
+    return rows.at[rows_sel[:, None], titems].set(1.0, mode="drop")
 
 
 def contains(store: Any, users: jax.Array, items: jax.Array) -> jax.Array:
@@ -136,11 +195,62 @@ def contains(store: Any, users: jax.Array, items: jax.Array) -> jax.Array:
     return (lo < end) & found
 
 
+def plan_head_tail(degrees, k_max: int, block: int = 1024):
+    """Pick the head/tail lane split for :func:`gather_rows` on the host.
+
+    Minimizes scattered lanes per full user pass in blocks of ``block``:
+    ``U·k + ceil(U/block)·H(k)·(k_max − k)`` with ``H(k)`` = #users of
+    degree > k (the fixup runs every heavy user in every block — absent
+    ones are dropped lanes but still scatter work). k sweeps powers of two;
+    tiktok lands k_cut = 8 with 103 heavy users (8.2× fewer lanes than the
+    k_max = 603 pad). Returns ``(k_cut, heavy_ids)``; ``k_cut == k_max``
+    (uniform-degree data, tiny k_max) means no split.
+    """
+    import numpy as np
+
+    deg = np.asarray(degrees)
+    u = int(deg.shape[0])
+    k_max = int(k_max)
+    blocks = max(1, -(-u // int(block)))
+    candidates = [k_max] + [
+        1 << i for i in range(3, max(k_max.bit_length(), 4)) if (1 << i) < k_max
+    ]
+    best_k, best_cost = k_max, u * k_max
+    for k in candidates:
+        h = int((deg > k).sum())
+        cost = u * k + blocks * h * (k_max - k)
+        if cost < best_cost:
+            best_k, best_cost = k, cost
+    if best_k >= k_max:
+        return k_max, None
+    heavy_ids = np.flatnonzero(deg > best_k).astype(np.int32)
+    return best_k, heavy_ids
+
+
 def make_train_csr(
-    cols: jax.Array, offsets: jax.Array, degrees: jax.Array, k_max: int
+    cols: jax.Array,
+    offsets: jax.Array,
+    degrees: jax.Array,
+    k_max: int,
+    k_cut: int = None,  # type: ignore[assignment]
+    heavy_ids=None,
 ) -> TrainCSR:
     """Assemble a store from the loader's existing device arrays — the CSR
-    form allocates nothing new (``cols`` is DeviceData.train_cols)."""
+    form allocates nothing new beyond the O(n_heavy) head/tail plan
+    (``cols`` is DeviceData.train_cols)."""
+    import numpy as np
+
+    k_max = int(k_max)
+    if heavy_ids is not None and k_cut is not None and int(k_cut) < k_max:
+        heavy_ids = jnp.asarray(np.asarray(heavy_ids, dtype=np.int32))
+        k_cut = int(k_cut)
+    else:
+        k_cut, heavy_ids = k_max, None
     return TrainCSR(
-        cols=cols, offsets=offsets, degrees=degrees, k_max=int(k_max)
+        cols=cols,
+        offsets=offsets,
+        degrees=degrees,
+        k_max=k_max,
+        k_cut=k_cut,
+        heavy_ids=heavy_ids,
     )

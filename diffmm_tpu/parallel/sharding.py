@@ -106,15 +106,14 @@ def _place_train_store(store, mesh: Mesh):
     replace), and every consumer gathers them at data-dependent positions
     (span reads, binary-search probes), which sharded operands would turn
     into per-access collectives."""
-    from diffmm_tpu.data.membership import TrainCSR, make_train_csr
+    from diffmm_tpu.data.membership import TrainCSR
 
     if isinstance(store, TrainCSR):
         rep = replicated(mesh)
-        return make_train_csr(
-            jax.device_put(store.cols, rep),
-            jax.device_put(store.offsets, rep),
-            jax.device_put(store.degrees, rep),
-            store.k_max,
+        # tree_map keeps the static plan (k_max, k_cut) and replicates every
+        # array leaf, including the head/tail fixup arrays
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, rep), store
         )
     return jax.device_put(store, catalog_sharded_or_replicated(store, mesh))
 

@@ -234,6 +234,7 @@ class Coach:
                 host,
                 with_sparse_adj=not self.dense_graphs,
                 train_store=self.train_store_form,
+                batch=config.train.batch,
             )
         if mesh is not None:
             check_batch_divisibility(config.train.batch, mesh)

@@ -18,6 +18,7 @@ from diffmm_tpu.data.membership import (
     gather_item_lists,
     gather_rows,
     make_train_csr,
+    plan_head_tail,
 )
 
 
@@ -28,6 +29,21 @@ def stores(tiny_data):
         dev.train_cols, dev.csr_offsets, dev.user_degrees, tiny_data.k_max
     )
     return dev.train_store, csr, tiny_data
+
+
+@pytest.fixture(scope="module")
+def split_csr(stores):
+    """The same store with a FORCED head/tail split (k_cut low enough that
+    several users are heavy) — exercises the fixup scatter on data whose
+    natural plan might not split."""
+    _, csr, host = stores
+    deg = np.asarray(host.user_degrees)
+    k_cut = max(1, int(np.median(deg)))
+    heavy = np.flatnonzero(deg > k_cut).astype(np.int32)
+    assert heavy.size > 0, "tiny fixture has no heavy users at median cut"
+    return make_train_csr(
+        csr.cols, csr.offsets, csr.degrees, csr.k_max, k_cut, heavy
+    )
 
 
 def test_gather_rows_bit_identical(stores, rng):
@@ -42,6 +58,52 @@ def test_gather_rows_bit_identical(stores, rng):
     np.testing.assert_array_equal(
         a, host.train_dense[np.asarray(users)].astype(np.float32)
     )
+
+
+def test_gather_rows_head_tail_split_bit_identical(stores, split_csr, rng):
+    """Forced split: every block shape — heavy users present, absent, and
+    edge-pad sentinel user ids — must reproduce the dense rows exactly."""
+    dense, _, host = stores
+    heavy = np.asarray(split_csr.heavy_ids)
+    light = np.setdiff1d(
+        np.arange(host.user_num, dtype=np.int32), heavy
+    )
+    blocks = [
+        rng.integers(0, host.user_num, 17).astype(np.int32),  # mixed
+        heavy[: min(5, heavy.size)],  # all heavy
+        light[:7],  # no heavy
+        np.concatenate(  # sentinel pad lanes alongside a heavy user
+            [heavy[:1], np.full(3, host.user_num, np.int32), light[:2]]
+        ),
+    ]
+    for users_np in blocks:
+        users = jnp.asarray(users_np)
+        a = np.asarray(gather_rows(dense, users, host.item_num))
+        b = np.asarray(gather_rows(split_csr, users, host.item_num))
+        # pad-row CONTENT is out of contract (callers mask those rows; the
+        # dense gather itself fill-values them) — the guard is that pad
+        # lanes never corrupt the in-range rows
+        in_range = users_np < host.user_num
+        np.testing.assert_array_equal(a[in_range], b[in_range])
+
+
+def test_plan_head_tail():
+    # power-law degrees: a few hubs, long tail -> split engages
+    deg = np.array([600, 300] + [3] * 1000)
+    k_cut, heavy = plan_head_tail(deg, k_max=600, block=256)
+    assert k_cut < 600 and heavy is not None
+    assert set(heavy.tolist()) == {0, 1} or (deg[heavy] > k_cut).all()
+    assert (np.sort(deg[heavy])[::-1] > k_cut).all()
+    assert (deg[np.setdiff1d(np.arange(deg.size), heavy)] <= k_cut).all()
+    # uniform degrees: no split
+    k_cut, heavy = plan_head_tail(np.full(100, 7), k_max=7, block=32)
+    assert k_cut == 7 and heavy is None
+    # store built from a no-split plan keeps the plain path
+    s = make_train_csr(
+        jnp.zeros(8, jnp.int32), jnp.zeros(4, jnp.int32),
+        jnp.full(4, 2, jnp.int32), 2, 2, None,
+    )
+    assert s.heavy_ids is None and s.k_cut == s.k_max
 
 
 def test_contains_bit_identical(stores, rng):
