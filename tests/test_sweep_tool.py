@@ -101,6 +101,36 @@ def test_dynamic_safe_is_spelling_independent():
     assert not sweep_tool._is_dynamic_safe(cfg, "hyper.noise_scale")
 
 
+def test_sweep_one_reseeds_for_any_seed_spelling():
+    """A QUALIFIED seed param ('base.seed') must reach reset(seed=value)
+    like the bare 'seed' does. The old string match missed it, so every
+    value trained on the stale seed — five bit-identical 300-epoch rows
+    on the TPU before it was caught (round 5)."""
+
+    class FakeCoach:
+        def __init__(self):
+            self.reset_seeds = []
+
+        def reset(self, seed=None):
+            self.reset_seeds.append(seed)
+
+        def run(self, epochs):
+            return {"Recall": 0.1}
+
+    class FakeLog:
+        def info(self, msg):
+            pass
+
+    cfg = Config()
+    for spelling in ("seed", "base.seed"):
+        coach = FakeCoach()
+        rows = sweep_tool._sweep_one(
+            coach, cfg, FakeLog(), spelling, [7, 8], epochs=1, fresh=False
+        )
+        assert coach.reset_seeds == [7, 8], spelling
+        assert [r[spelling] for r in rows] == [7, 8]
+
+
 def test_plan_accepts_qualified_dynamic_param():
     """Qualified spellings of dynamic-safe params must not be refused.
     Setting a bogus dataset name makes the host-data load fail right after

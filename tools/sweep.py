@@ -103,12 +103,17 @@ def _sweep_one(coach, config, log, param, values, epochs, *, fresh: bool):
     """
     rows = []
     for i, value in enumerate(values):
-        if param == "seed":
+        obj, key = _resolve(config, param)
+        if (obj, key) == _resolve(config, "seed"):
+            # ANY spelling of the seed ("seed"/"base.seed") must go through
+            # reset(seed=...): reset re-inits params/RNG from config.base.seed,
+            # so setattr-after-reset would train every value on the stale
+            # seed — bit-identical rows (caught live in round 5; the r4 seed
+            # bands were --forked and never hit this path).
             coach.reset(seed=value)
         else:
             if i > 0 or fresh:
                 coach.reset()
-            obj, key = _resolve(config, param)
             setattr(obj, key, value)
         log.info(f"🔁 sweep {param} = {value}")
         best = coach.run(epochs=epochs)
