@@ -250,7 +250,8 @@ def main(argv=None) -> int:
         legs = [(param, _cast_values(config, param, raw))
                 for param, raw in plan_legs]
         report = {"config": args.config, "plan": args.plan,
-                  "epochs": args.epochs, "legs": [], "incumbent": {}}
+                  "epochs": args.epochs, "set": args.set,
+                  "legs": [], "incumbent": {}}
         for li, (param, values) in enumerate(legs):
             rows = _sweep_one(coach, config, log, param, values,
                               args.epochs, fresh=li > 0)
@@ -285,6 +286,9 @@ def main(argv=None) -> int:
                     "config": args.config,
                     "param": args.param,
                     "epochs": args.epochs,
+                    # provenance: reruns need the full configuration, not
+                    # just the swept param (forked mode already records it)
+                    "set": args.set,
                     "results": results,
                 },
                 fh,
