@@ -141,6 +141,16 @@ class TrainConfig:
     # matmul path while the interaction blocks fit an HBM budget,
     # otherwise segment-sum SpMM; "dense"/"sparse" force one.
     graph_form: str = "auto"
+    # Blocks budget (GiB) for the "auto" dense/sparse decision. 0 = derive
+    # from the device (train/coach.py::dense_graph_budget_bytes: 0.6 ×
+    # bytes_limit − the estimated resident state; 4 GiB fallback where
+    # memory_stats is unavailable — which includes THIS environment's
+    # tunnel backend, whose memory_stats() is None). Set it when you know
+    # the chip: on a 16 GiB v5e, yelp scale (38,403×20,000; 4.61 GiB of
+    # blocks + ~2.3 GiB state) measured 10.85 s/epoch dense vs 23.7 sparse
+    # (2.2×, round 5, sweeps/scale_probe_r5_yelp_*.json) — the stats-less
+    # fallback alone would run it sparse.
+    dense_budget_gb: float = 0.0
     # Storage dtype of the dense 0/1 interaction blocks. "int8" (default)
     # halves the HBM bytes of the workload's dominant operand — measured
     # 0.585 vs 0.737 s/epoch (1.26x) on v5e/tiktok, with the int8->bf16

@@ -60,18 +60,30 @@ _build_dense_adj_jit = partial(
 # denoiser), the (B, I) phase transients, and XLA workspace. Real devices
 # derive the budget from their own limit via dense_graph_budget_bytes().
 DENSE_GRAPH_BUDGET_BYTES = 4 << 30
-_DENSE_BUDGET_HBM_FRACTION = 0.25
+# 0.25 -> 0.6 in round 5: the fraction now pairs with an explicit
+# state-bytes subtraction (estimate_state_bytes) instead of absorbing the
+# state implicitly; calibration in dense_graph_budget_bytes's docstring.
+_DENSE_BUDGET_HBM_FRACTION = 0.6
 
 
-def dense_graph_budget_bytes(device=None) -> int:
+def dense_graph_budget_bytes(device=None, state_bytes: int = 0) -> int:
     """Per-device HBM budget for the dense-form interaction blocks.
 
     Probes ``memory_stats()["bytes_limit"]`` of the default (or given)
-    device and applies the measured v5e calibration fraction, so "auto"
-    stays honest across chip generations: a 32 GiB chip keeps the dense
-    form 2x longer, an 8 GiB one switches to sparse before it would OOM.
-    memory_stats is optional in the JAX device API (None on CPU) — absent
-    or zero limits fall back to the 4 GiB constant."""
+    device, takes the calibrated fraction and subtracts the caller's
+    estimate of the run's OTHER resident state (denoiser 3-copy Adam
+    groups, GCN params, dense train store — :func:`estimate_state_bytes`),
+    so "auto" stays honest across chip generations: a 32 GiB chip keeps
+    the dense form longer, an 8 GiB one switches to sparse before it
+    would OOM. Calibration (round 5): yelp scale (4.61 GiB blocks +
+    ~2.3 GiB state) ran every phase + eval on a 16 GiB v5e; 0.6·limit −
+    state admits it with a ≥35% transient margin, where the previous
+    0.25·limit (no state term) refused a configuration measured 2.2×
+    faster dense. memory_stats is optional in the JAX device API (None on
+    CPU and on this environment's tunnel TPU backend) — absent or zero
+    limits fall back to the 4 GiB constant, which the ``train.
+    dense_budget_gb`` config knob overrides for operators who know their
+    chip."""
     try:
         dev = device if device is not None else jax.devices()[0]
         stats = dev.memory_stats()
@@ -80,7 +92,27 @@ def dense_graph_budget_bytes(device=None) -> int:
         limit = 0
     if limit <= 0:
         return DENSE_GRAPH_BUDGET_BYTES
-    return int(limit * _DENSE_BUDGET_HBM_FRACTION)
+    return max(0, int(limit * _DENSE_BUDGET_HBM_FRACTION) - state_bytes)
+
+
+def estimate_state_bytes(
+    n_modal: int, user_num: int, item_num: int, latdim: int,
+    hidden: list, d_emb_size: int, feat_dims, param_bytes: int = 4,
+) -> int:
+    """Dominant resident state BESIDES the interaction blocks, for the
+    auto dense/sparse decision: the denoiser catalog-wide in/out layers ×
+    3 copies (params + both Adam moments) per modality, the GCN params ×
+    3 copies, and the (U, I) int8 train store the dense form carries.
+    Deliberately a lower bound — per-phase transients ride the
+    (1 − fraction) margin of :func:`dense_graph_budget_bytes`."""
+    h0, hl = int(hidden[0]), int(hidden[-1])
+    denoise = (item_num + d_emb_size) * h0 + hl * item_num
+    gcn = (user_num + item_num + int(sum(feat_dims))) * latdim
+    return (
+        n_modal * 3 * denoise * param_bytes
+        + 3 * gcn * 4
+        + user_num * item_num
+    )
 
 
 def resolve_dense_store(name: str) -> tuple:
@@ -208,11 +240,43 @@ class Coach:
         # so storage bytes are the real footprint and the dense form covers
         # a correspondingly larger catalog.
         self.dense_store_bytes_per_cell = bytes_per_cell
+        budget_bytes = None
+        if config.train.graph_form == "auto":
+            if config.train.dense_budget_gb > 0:
+                # operator-stated blocks budget — the honest path on
+                # backends whose memory_stats() is None (incl. this
+                # environment's tunnel TPU; see config.py dense_budget_gb)
+                budget_bytes = int(config.train.dense_budget_gb * (1 << 30))
+            else:
+                budget_bytes = dense_graph_budget_bytes(
+                    state_bytes=estimate_state_bytes(
+                        self.n_modal, host.user_num, host.item_num,
+                        config.base.latdim, config.base.denoise_dims(),
+                        config.base.d_emb_size, host.feat_dims,
+                        param_bytes=2
+                        if config.base.denoise_param_dtype == "bf16" else 4,
+                    )
+                )
         self.dense_graphs = choose_graph_form(
             config.train.graph_form, self.n_modal, host.user_num,
             host.item_num, model_parallel,
             bytes_per_cell=bytes_per_cell,
+            budget_bytes=budget_bytes,
         )
+        if config.train.graph_form == "auto" and not self.dense_graphs:
+            # observability: the sparse pick at a shape near the boundary
+            # costs ~2.2x (yelp measurement, config.py dense_budget_gb) —
+            # say what the numbers were so the operator can override
+            ui = host.user_num * host.item_num
+            blocks = (self.n_modal + 1) * ui * bytes_per_cell
+            if bytes_per_cell < 2:  # the bf16 transient reserve, as gated
+                blocks += ui * 2
+            self.log.info(
+                f"auto graph form: sparse (blocks+reserve "
+                f"{blocks / 2**30:.2f} GiB > budget "
+                f"{budget_bytes * max(model_parallel, 1) / 2**30:.2f} GiB; "
+                f"train.dense_budget_gb overrides)"
+            )
 
         store_cfg = config.train.train_store
         if store_cfg == "auto":

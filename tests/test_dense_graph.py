@@ -127,6 +127,53 @@ def test_choose_graph_form_device_budget():
     )
 
 
+def test_budget_subtracts_state_and_admits_yelp_dense():
+    """Round-5 calibration: the yelp shape (38,403×20,000, the largest
+    reference catalog) MEASURED fitting the dense form on a 16 GiB v5e at
+    2.2× the sparse epoch rate (sweeps/scale_probe_r5_yelp_*.json), but
+    the old 0.25·limit budget refused it. The refined derivation
+    (0.6·limit − explicit state estimate) must admit it on 16 GiB and
+    still refuse it on 8 GiB."""
+    from diffmm_tpu.train.coach import (
+        choose_graph_form,
+        dense_graph_budget_bytes,
+        estimate_state_bytes,
+    )
+
+    class FakeDev:
+        def __init__(self, limit):
+            self._limit = limit
+
+        def memory_stats(self):
+            return {"bytes_limit": self._limit}
+
+    U, I, m = 38403, 20000, 3
+    state = estimate_state_bytes(
+        m, U, I, latdim=64, hidden=[1024], d_emb_size=10,
+        feat_dims=[128, 768, 128],
+    )
+    # denoiser 3-copy groups ≈ 1.44 GiB + GCN ≈ 0.04 + int8 store 0.72
+    assert 2.0 * 2**30 < state < 2.6 * 2**30, state / 2**30
+    big = dense_graph_budget_bytes(FakeDev(16 << 30), state_bytes=state)
+    small = dense_graph_budget_bytes(FakeDev(8 << 30), state_bytes=state)
+    assert choose_graph_form("auto", m, U, I, bytes_per_cell=1,
+                             budget_bytes=big)
+    assert not choose_graph_form("auto", m, U, I, bytes_per_cell=1,
+                                 budget_bytes=small)
+
+
+def test_dense_budget_gb_knob(tiny_config, tiny_data):
+    """train.dense_budget_gb states the blocks budget when the backend
+    reports no memory stats (this environment's tunnel TPU returns None);
+    it must override the probe in BOTH directions."""
+    cfg = copy.deepcopy(tiny_config)
+    cfg.train.graph_form = "auto"
+    cfg.train.dense_budget_gb = 1.0
+    assert Coach(cfg, tiny_data).dense_graphs
+    cfg.train.dense_budget_gb = 1e-6  # ~1 KiB: below even the tiny blocks
+    assert not Coach(cfg, tiny_data).dense_graphs
+
+
 def test_int8_store_bit_identical_to_bf16(tiny_data):
     """int8-stored dense blocks convert to bf16 on the matmul read; 0/1 are
     exact in both dtypes, so forward results must be bit-identical while the
