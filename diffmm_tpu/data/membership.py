@@ -89,6 +89,20 @@ def is_csr(store: Any) -> bool:
     return isinstance(store, TrainCSR)
 
 
+def _span_lanes(cols: jax.Array, off: jax.Array, deg: jax.Array,
+                lo: int, hi: int):
+    """Items + lane mask for lanes ``[lo, hi)`` of each CSR span — the ONE
+    clamped span gather every consumer shares (diffusion rows, eval masks,
+    the heavy-tail fixup). Out-of-range positions clamp to the last edge;
+    callers mask or scatter-drop the invalid lanes."""
+    lanes = jnp.arange(lo, hi, dtype=jnp.int32)
+    pos = off[:, None] + lanes[None, :]
+    valid = lanes[None, :] < deg[:, None]
+    nnz = cols.shape[0]
+    items = cols.take(jnp.minimum(pos, nnz - 1))
+    return items, valid
+
+
 def gather_item_lists(store: TrainCSR, users: jax.Array):
     """Per-user item spans as a rectangular table.
 
@@ -97,14 +111,9 @@ def gather_item_lists(store: TrainCSR, users: jax.Array):
     (edge-pad sentinels) clamp to the last user — callers mask those lanes
     themselves, matching the dense form's clamped row gather.
     """
-    lanes = jnp.arange(store.k_max, dtype=jnp.int32)
     off = store.offsets.take(users)
     deg = store.degrees.take(users)
-    pos = off[:, None] + lanes[None, :]
-    valid = lanes[None, :] < deg[:, None]
-    nnz = store.cols.shape[0]
-    items = store.cols.take(jnp.minimum(pos, nnz - 1))
-    return items, valid
+    return _span_lanes(store.cols, off, deg, 0, store.k_max)
 
 
 def gather_rows(store: Any, users: jax.Array, item_num: int) -> jax.Array:
@@ -126,13 +135,9 @@ def gather_rows(store: Any, users: jax.Array, item_num: int) -> jax.Array:
     k_cut = store.k_cut if store.k_cut is not None else store.k_max
     split = store.heavy_ids is not None and k_cut < store.k_max
     width = k_cut if split else store.k_max
-    lanes = jnp.arange(width, dtype=jnp.int32)
     off = store.offsets.take(users)
     deg = store.degrees.take(users)
-    pos = off[:, None] + lanes[None, :]
-    valid = lanes[None, :] < deg[:, None]
-    nnz = store.cols.shape[0]
-    items = store.cols.take(jnp.minimum(pos, nnz - 1))
+    items, valid = _span_lanes(store.cols, off, deg, 0, width)
     # invalid lanes -> item_num, dropped by the scatter's bounds check
     items = jnp.where(valid, items, jnp.int32(item_num))
     rows = jnp.zeros((b, item_num), jnp.float32)
@@ -156,10 +161,7 @@ def gather_rows(store: Any, users: jax.Array, item_num: int) -> jax.Array:
     # dropped by the scatter's out-of-bounds row index below
     off_s = off.take(rows_sel, mode="clip")
     deg_s = deg.take(rows_sel, mode="clip")
-    tlanes = jnp.arange(k_cut, store.k_max, dtype=jnp.int32)
-    tpos = off_s[:, None] + tlanes[None, :]
-    tvalid = tlanes[None, :] < deg_s[:, None]
-    titems = store.cols.take(jnp.minimum(tpos, nnz - 1))
+    titems, tvalid = _span_lanes(store.cols, off_s, deg_s, k_cut, store.k_max)
     titems = jnp.where(tvalid, titems, jnp.int32(item_num))
     return rows.at[rows_sel[:, None], titems].set(1.0, mode="drop")
 

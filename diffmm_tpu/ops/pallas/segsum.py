@@ -687,10 +687,18 @@ def make_sharded_ranked_plan(
     # rank span per shard: <= s by pigeonhole, <= num_segments + 1 globally
     # (all sentinels share one rank). Multi-piece placement offsets are
     # bounded by the span; add the largest piece + chunk so the local
-    # dynamic_update_slice windows always fit without clamping.
+    # dynamic_update_slice windows always fit without clamping. A
+    # single-piece plan runs the kernel DIRECTLY at local_rows, so it must
+    # stay within the VMEM-gated cap + chunk: span + chunk suffices there
+    # (ranks - r0 <= span - 1; span <= s <= cap) — span + s + chunk would
+    # be ~2x the validated budget when span ~ s (large catalogs) and crash
+    # the worker in exactly the regime the gate exists for.
     span = min(s, num_segments + 1)
-    max_piece = max(hi - lo for lo, hi in pieces)
-    local_rows = span + max_piece + chunk
+    if len(pieces) == 1:
+        local_rows = span + chunk
+    else:
+        max_piece = max(hi - lo for lo, hi in pieces)
+        local_rows = span + max_piece + chunk
     return ShardedRankedPlan(
         mesh=mesh, axes=tuple(axes), pieces=pieces,
         local_rows=local_rows, nnz=nnz, chunk=chunk,

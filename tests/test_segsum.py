@@ -456,6 +456,29 @@ def test_sharded_ranked_matches_segment_sum(rng):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_ranked_single_piece_fits_vmem():
+    """Regression: a single-piece plan runs the kernel directly at
+    local_rows, so local_rows itself must pass the VMEM gate. Before the
+    fix, span + s + chunk sized it ~2x the validated cap whenever
+    num_segments >= s (the web-scale regime the gate exists for)."""
+    from diffmm_tpu.ops.pallas.segsum import (
+        make_sharded_ranked_plan,
+        max_segments_in_vmem,
+        segsum_fits_vmem,
+    )
+    from diffmm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    mesh = _mesh8()
+    axes = (DATA_AXIS, MODEL_AXIS)
+    d, chunk = 64, 512
+    cap = max_segments_in_vmem(d, chunk) - chunk
+    # per-shard edges just under the cap; a huge catalog makes span == s
+    nnz = (cap - chunk) * 8
+    plan = make_sharded_ranked_plan(nnz, 2 * nnz, d, mesh, axes, chunk=chunk)
+    assert plan is not None and len(plan.pieces) == 1
+    assert segsum_fits_vmem(plan.local_rows, d, chunk), plan.local_rows
+
+
 def test_sharded_ranked_hub_segment(rng):
     """One hub id owning several whole shards: every shard's partial for
     the shared rank lands on the same segment row and the psum adds them."""

@@ -73,7 +73,11 @@ def main() -> int:
         print(f"epoch {ep}: {times[-1]:.2f}s", file=sys.stderr, flush=True)
     steady = sorted(times[1:]) if len(times) > 1 else times
     result["epoch_s_all"] = times
-    result["epoch_s_median_steady"] = steady[len(steady) // 2]
+    # --epochs 0 = fused-only probe (e.g. bisecting the fused-scan crash
+    # boundary when single epochs are already known-good)
+    result["epoch_s_median_steady"] = (
+        steady[len(steady) // 2] if steady else None
+    )
 
     if args.scan > 1:
         ep0 = args.epochs
