@@ -211,6 +211,15 @@ class TrainConfig:
     # dense share one precision story. The XLA-scatter fallback always
     # accumulates f32. "f32" keeps the round-3 bit-exact kernels.
     segsum_compute: str = "f32"
+    # Sparse form: run the M modality graphs' shared-layout reductions as
+    # single wide (M*latdim) kernel calls instead of M separate ones —
+    # the rebuilt graphs all keep the train-row layout (ops/topk.py), so
+    # the per-call fixed cost amortizes across the stacked width. Measured
+    # 0.581 -> 0.353 ms for tiktok's modal trio (d 64 -> 192,
+    # sweeps/stacked_probe_r5.json). Reduction ORDER inside the wide call
+    # differs from the per-modality calls like any replan does, so set
+    # false to reproduce pre-round-5 sparse trajectories bit-exactly.
+    stack_modal: bool = True
     # TPU-specific: number of consecutive training epochs fused into ONE
     # compiled program (a lax.scan over epochs). Each dispatch crosses the
     # host->device boundary (~28 ms round-trip over this environment's

@@ -108,6 +108,7 @@ def gcn_mm(
     main_segsum: tuple = (None, None),
     modal_segsum: tuple = (None, None),
     segsum_compute: str = "f32",
+    modal_wide_plan=None,
 ) -> GCNOutput:
     """Multi-modal graph aggregation (reference `Model.py:60-134`).
 
@@ -116,6 +117,9 @@ def gcn_mm(
     form (see ops/graph.py::spmm_bi); no-ops on the dense form.
     ``segsum_compute``: message dtype on those kernel paths ("bf16" = the
     dense form's rounding policy; f32 accumulation either way).
+    ``modal_wide_plan``: static user-direction plan at width M*d — runs the
+    modal loop's M shared-layout reductions as single wide kernel calls
+    (ops/graph.py::spmm_bi_modal_stacked; coach._stacked_gate measurement).
     """
     u_embs = params["u_embs"]
     i_embs = params["i_embs"]
@@ -123,16 +127,22 @@ def gcn_mm(
     weight = jax.nn.softmax(params["modal_weight"])
 
     # Per-modality one-hop view over the rebuilt modality adjacency.
-    modal_u, modal_i = [], []
-    for m_adj, f in zip(modal_adjs, feats):
-        mu, mi = spmm_bi(
-            m_adj, u_embs, l2_normalize(f, axis=1), modal_segsum,
+    feats_n = [l2_normalize(f, axis=1) for f in feats]
+    if modal_wide_plan is not None and len(modal_adjs) > 1:
+        from diffmm_tpu.ops.graph import spmm_bi_modal_stacked
+
+        modal_u, modal_i = spmm_bi_modal_stacked(
+            modal_adjs, u_embs, feats_n, modal_wide_plan, modal_segsum[1],
             segsum_compute,
         )
-        modal_u.append(mu)
-        modal_i.append(mi)
-    modal_u = jnp.stack(modal_u)  # (M, U, d)
-    modal_i = jnp.stack(modal_i)  # (M, I, d)
+    else:
+        modal_u, modal_i = [], []
+        for m_adj, f in zip(modal_adjs, feats_n):
+            mu, mi = spmm_bi(m_adj, u_embs, f, modal_segsum, segsum_compute)
+            modal_u.append(mu)
+            modal_i.append(mi)
+        modal_u = jnp.stack(modal_u)  # (M, U, d)
+        modal_i = jnp.stack(modal_i)  # (M, I, d)
 
     # ID propagation over the main graph (identical per modality in the
     # reference; computed once here).

@@ -401,6 +401,171 @@ def _propagate_sorted(
     )
 
 
+@_functools.lru_cache(maxsize=None)
+def _get_stacked_user_prop(M: int, n_out: int, n_src: int, wide_plan,
+                           bwd_plan, compute: str):
+    """User-direction propagation for M modality graphs that SHARE the
+    static user-major edge layout (ops/topk.py: every rebuilt graph keeps
+    the train CSR rows; only the item per slot differs) — ONE wide
+    reduction at feature width M*d instead of M separate kernel calls.
+
+    Measured A/B (sweeps/stacked_probe_r5.json, v5e/tiktok amortized-scan):
+    3 separate planned reductions 0.581 ms vs one d=192 call 0.353 ms —
+    the per-call fixed cost (one-hot chunk matmuls, window machinery) is
+    paid once and reused across the stacked width. The backward reduces by
+    each modality's OWN dynamic item-major layout (rank-space plan +
+    per-adjacency hoisted aux), exactly like the per-modality propagator —
+    stacking there LOSES (0.888 -> 1.17 ms: M*nnz edges overflow the
+    VMEM-gated piece cap into the RMW path), so it stays per-modality.
+    """
+    import numpy as onp
+
+    cast = (lambda a: a.astype(jnp.bfloat16)) if compute == "bf16" else (lambda a: a)
+
+    @jax.custom_vjp
+    def prop(z, rows, cols, perm, bwd_rows, bwd_aux):
+        # z: (M, n_src, d); cols/perm/bwd_rows: (M, nnz); rows: (nnz,)
+        d = z.shape[-1]
+        msgs = jnp.concatenate(
+            [cast(z[m]).take(cols[m], axis=0) for m in range(M)], axis=1
+        )
+        msgs = jnp.where((rows < n_out)[:, None], msgs, 0.0)
+        wide = _reduce_sorted(msgs, rows, n_out, wide_plan)  # (n_out, M*d)
+        return wide.reshape(n_out, M, d).transpose(1, 0, 2)
+
+    def fwd(z, rows, cols, perm, bwd_rows, bwd_aux):
+        return (
+            prop(z, rows, cols, perm, bwd_rows, bwd_aux),
+            (rows, cols, perm, bwd_rows, bwd_aux),
+        )
+
+    def bwd(res, g):
+        rows, cols, perm, bwd_rows, bwd_aux = res
+        dzs = []
+        for m in range(M):
+            src_rows = rows.take(perm[m])
+            dmsgs = cast(g[m]).take(jnp.clip(src_rows, 0, n_out - 1), axis=0)
+            dmsgs = jnp.where((src_rows < n_out)[:, None], dmsgs, 0.0)
+            dmsgs = jnp.where((bwd_rows[m] < n_src)[:, None], dmsgs, 0.0)
+            aux_m = jax.tree.map(lambda a: a[m], bwd_aux) if bwd_aux else None
+            dzs.append(
+                _reduce_sorted(dmsgs, bwd_rows[m], n_src, bwd_plan, aux_m)
+            )
+
+        def f0(a):
+            return onp.zeros(onp.shape(a), dtype=jax.dtypes.float0)
+
+        return (
+            jnp.stack(dzs), f0(rows), f0(cols), f0(perm), f0(bwd_rows),
+            jax.tree.map(f0, bwd_aux),
+        )
+
+    prop.defvjp(fwd, bwd)
+    return prop
+
+
+@_functools.lru_cache(maxsize=None)
+def _get_multi_item_prop(M: int, n_out: int, n_src: int, fwd_plan,
+                         wide_bwd_plan, compute: str):
+    """Item-direction propagation for M modality graphs with the stacked
+    BACKWARD: the forward reduces per modality (each has its own dynamic
+    item-major layout — rank-space plans), but every backward reduces by
+    the SHARED static user-major layout, so the M backward reductions run
+    as ONE wide call at M*d (same measured 1.65x win as the forward
+    stack in :func:`_get_stacked_user_prop`)."""
+    import numpy as onp
+
+    cast = (lambda a: a.astype(jnp.bfloat16)) if compute == "bf16" else (lambda a: a)
+
+    @jax.custom_vjp
+    def prop(z, rows, cols, perm, bwd_rows, fwd_aux):
+        # z: (M, n_src, d); rows/cols/perm: (M, nnz); bwd_rows: (nnz,)
+        outs = []
+        for m in range(M):
+            msgs = cast(z[m]).take(cols[m], axis=0)
+            msgs = jnp.where((rows[m] < n_out)[:, None], msgs, 0.0)
+            aux_m = jax.tree.map(lambda a: a[m], fwd_aux) if fwd_aux else None
+            outs.append(_reduce_sorted(msgs, rows[m], n_out, fwd_plan, aux_m))
+        return jnp.stack(outs)
+
+    def fwd(z, rows, cols, perm, bwd_rows, fwd_aux):
+        return (
+            prop(z, rows, cols, perm, bwd_rows, fwd_aux),
+            (rows, cols, perm, bwd_rows, fwd_aux),
+        )
+
+    def bwd(res, g):
+        rows, cols, perm, bwd_rows, fwd_aux = res
+        d = g.shape[-1]
+        parts = []
+        for m in range(M):
+            src_rows = rows[m].take(perm[m])
+            dmsgs = cast(g[m]).take(jnp.clip(src_rows, 0, n_out - 1), axis=0)
+            dmsgs = jnp.where((src_rows < n_out)[:, None], dmsgs, 0.0)
+            parts.append(dmsgs)
+        dmsgs_w = jnp.concatenate(parts, axis=1)
+        dmsgs_w = jnp.where((bwd_rows < n_src)[:, None], dmsgs_w, 0.0)
+        wide = _reduce_sorted(dmsgs_w, bwd_rows, n_src, wide_bwd_plan)
+        dz = wide.reshape(n_src, M, d).transpose(1, 0, 2)
+
+        def f0(a):
+            return onp.zeros(onp.shape(a), dtype=jax.dtypes.float0)
+
+        return (
+            dz, f0(rows), f0(cols), f0(perm), f0(bwd_rows),
+            jax.tree.map(f0, fwd_aux),
+        )
+
+    prop.defvjp(fwd, bwd)
+    return prop
+
+
+def spmm_bi_modal_stacked(
+    adjs: list,
+    x_user: jax.Array,
+    x_items: list,
+    wide_plan,
+    item_plan,
+    compute: str = "f32",
+):
+    """All M modality propagations of `gcn_mm`'s modal loop in stacked
+    form: ``(modal_u (M, U, d), modal_i (M, I, d))``, semantically equal to
+    M independent :func:`spmm_bi` calls (same math per modality, reduction
+    order within each wide kernel differs only like any replan does).
+
+    Preconditions (asserted): every adjacency shares the SAME user-major
+    ``ui_rows`` layout (the ops/topk.py rebuild invariant), and every
+    adjacency carries ``iu_inv`` + hoisted ``rank_aux``. ``wide_plan`` is
+    the static user-direction plan made at feature width ``M * d``
+    (coach._stacked_gate); ``item_plan`` the rank-space plan (single-device
+    or mesh form) the per-modality item reductions run under.
+    """
+    M = len(adjs)
+    rows = adjs[0].ui_rows
+    z_u = jnp.stack([x_user * a.s_user[:, None] for a in adjs])
+    z_i = jnp.stack([x * a.s_item[:, None] for x, a in zip(x_items, adjs)])
+    cols = jnp.stack([a.ui_cols for a in adjs])
+    iu_rows = jnp.stack([a.ui_cols.take(a.iu_perm) for a in adjs])
+    iu_cols = jnp.stack([a.ui_rows.take(a.iu_perm) for a in adjs])
+    perm = jnp.stack([a.iu_perm for a in adjs])
+    inv = jnp.stack([a.iu_inv for a in adjs])
+    aux = None
+    if adjs[0].rank_aux is not None:
+        aux = tuple(
+            jnp.stack([a.rank_aux[k] for a in adjs]) for k in range(3)
+        )
+    U, I = adjs[0].user_num, adjs[0].item_num
+    m_u = _get_stacked_user_prop(M, U, I, wide_plan, item_plan, compute)(
+        z_i, rows, cols, perm, iu_rows, aux
+    )
+    m_i = _get_multi_item_prop(M, I, U, item_plan, wide_plan, compute)(
+        z_u, iu_rows, iu_cols, inv, rows, aux
+    )
+    s_u = jnp.stack([a.s_user for a in adjs])[:, :, None]
+    s_i = jnp.stack([a.s_item for a in adjs])[:, :, None]
+    return s_u * (m_u + z_u), s_i * (m_i + z_i)
+
+
 def _use_dual_kernel(
     user_num: int, item_num: int, d: int, mat_itemsize: int = 2
 ) -> bool:

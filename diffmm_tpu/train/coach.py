@@ -349,12 +349,14 @@ class Coach:
         )
         self.segsum_plans = self._segsum_gate()
         self.modal_item_plan = self._ranked_gate()
+        self.modal_wide_plan = self._stacked_gate()
         self.steps = make_train_steps(
             config, self.schedule, self.n_modal, host.k_max,
             segsum_plans=self.segsum_plans,
             rebuild_plan=self.rebuild_plan,
             modal_item_plan=self.modal_item_plan,
             item_num=host.item_num,
+            modal_wide_plan=self.modal_wide_plan,
         )
         if config.train.epoch_scan < 1:
             raise ValueError(
@@ -662,6 +664,55 @@ class Coach:
             self.log.info(
                 "Sparse SpMM: rank-space MXU reduction for the rebuilt "
                 f"modality item direction ({len(plan.pieces)} pieces)"
+            )
+        return plan
+
+    def _stacked_gate(self):
+        """Static user-direction plan at feature width M*latdim for the
+        STACKED modal propagation (ops/graph.py::spmm_bi_modal_stacked):
+        the M rebuilt modality graphs share the train-row layout
+        (ops/topk.py), so their M user-direction reductions (and the M
+        item-pass backward reductions) each run as ONE wide kernel call.
+        Measured 0.581 -> 0.353 ms for the tiktok modal trio at d=64->192
+        (sweeps/stacked_probe_r5.json). Requires the rank-space item plan
+        (the stacked backward reduces by each modality's dynamic layout);
+        ``train.stack_modal = false`` opts out."""
+        import os
+
+        if (
+            not self.config.train.stack_modal
+            or self.n_modal < 2
+            or self.config.hyper.use_knn_adj
+            or self.modal_item_plan is None
+            or self.segsum_plans[0] is None
+        ):
+            return None
+        from diffmm_tpu.data.loader import pad_edges
+
+        host = self.host
+        wide_d = self.n_modal * self.config.base.latdim
+        rows_p, _ = pad_edges(
+            host.train_rows, host.train_cols, host.user_num, host.item_num
+        )
+        chunk = int(os.environ.get("DIFFMM_SEGSUM_CHUNK", "512"))
+        if self.mesh is not None:
+            from diffmm_tpu.ops.pallas.segsum import make_sharded_segsum_plan
+            from diffmm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            plan = make_sharded_segsum_plan(
+                rows_p, host.user_num, wide_d, self.mesh,
+                (DATA_AXIS, MODEL_AXIS),
+            )
+        else:
+            from diffmm_tpu.ops.pallas.segsum import make_segsum_plan
+
+            plan = make_segsum_plan(
+                rows_p, host.user_num, wide_d, chunk=chunk
+            )
+        if plan is not None:
+            self.log.info(
+                "Sparse SpMM: stacked modal user-direction "
+                f"({self.n_modal}x{self.config.base.latdim} wide)"
             )
         return plan
 

@@ -63,6 +63,7 @@ def make_train_steps(
     rebuild_plan=None,
     modal_item_plan=None,
     item_num: int | None = None,
+    modal_wide_plan=None,
 ) -> TrainSteps:
     """``segsum_plans = (user_dir_plan, item_dir_plan)``: host-made plans for
     the MXU sorted-segment-sum on the sparse graph form (None = XLA scatter).
@@ -105,6 +106,11 @@ def make_train_steps(
         (None, None) if hyper.use_knn_adj
         else (segsum_plans[0], modal_item_plan)
     )
+    # the stacked modal path shares the rebuilt graphs' train-row layout —
+    # same exclusion as the plans above; also needs the rank-space item
+    # plan for its backward reductions
+    if hyper.use_knn_adj or modal_item_plan is None:
+        modal_wide_plan = None
 
     # Denoiser forward for the NO-GRAD reverse-sampling path (phase 2). The
     # fused Pallas kernel has no VJP, so the diffusion-training path always
@@ -425,6 +431,7 @@ def make_train_steps(
                 main_segsum=main_segsum,
                 modal_segsum=modal_segsum,
                 segsum_compute=segsum_compute,
+                modal_wide_plan=modal_wide_plan,
             )
             u_e = out.u_final.take(users, axis=0)
             pos_e = out.i_final.take(pos_items, axis=0)
@@ -486,6 +493,7 @@ def make_train_steps(
             main_segsum=main_segsum,
             modal_segsum=modal_segsum,
             segsum_compute=segsum_compute,
+            modal_wide_plan=modal_wide_plan,
         )
         return out.u_final, out.i_final
 
